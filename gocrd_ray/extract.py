@@ -1,0 +1,283 @@
+"""Single-pass PAGE-XML document extraction — the engine's hot path.
+
+Reproduces the oracle's (and therefore the reference's) semantics in one
+pass over the parsed document instead of the reference's lazy re-query
+model (gocrd re-runs absolute XPaths per accessor, page/page.go:39-45;
+we parse once per row and emit columnar results — SURVEY.md §4).
+
+``extract_doc`` is the per-row kernel; ``extract_batch`` is the
+``map_batches`` body (Arrow in / Arrow out). Per-row failures are
+captured in the ``error`` column so one poison document never kills a
+task (SURVEY.md §7 hard part d).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import Any, Optional
+
+import pyarrow as pa
+
+from .model import EXTRACT_FULL_SCHEMA, EXTRACT_TEXT_SCHEMA
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1] if tag.startswith("{") else tag
+
+
+def _attr(elem: ET.Element, name: str) -> Optional[str]:
+    a = elem.attrib
+    v = a.get(name)
+    if v is not None:
+        return v
+    for k, v in a.items():
+        if k.endswith("}" + name):
+            return v
+    return None
+
+
+def _atoi(s: str) -> int:
+    t = s[1:] if s[:1] in "+-" else s
+    if not t or not t.isascii() or not t.isdigit():
+        raise ValueError(f"invalid integer {s!r}")
+    return int(s, 10)
+
+
+def _parse_points(s: Optional[str]) -> Optional[list[dict]]:
+    """Coords/@points → [{'x','y'}...] or None on any malformation
+    (reference error semantics, page/page.go:324-351)."""
+    if s is None:
+        return None
+    parts = s.split(" ")
+    if len(parts) < 2:
+        return None
+    pts = []
+    try:
+        for p in parts:
+            x, _, y = p.partition(",")
+            if not y or "," in y:
+                return None
+            pts.append({"x": _atoi(x), "y": _atoi(y)})
+    except ValueError:
+        return None
+    return pts
+
+
+def _bbox(pts: Optional[list[dict]]) -> Optional[dict]:
+    if not pts:
+        return None
+    xs = [p["x"] for p in pts]
+    ys = [p["y"] for p in pts]
+    return {"x0": min(xs), "y0": min(ys), "x1": max(xs), "y1": max(ys)}
+
+
+def _first_text_equiv(elem: ET.Element) -> tuple[Optional[str], int]:
+    """(first TextEquiv/Unicode string value or None, count of TextEquivs).
+
+    None == the reference's ("", false): no TextEquiv or no Unicode child.
+    """
+    n = 0
+    text = None
+    for c in elem:
+        if _local(c.tag) == "TextEquiv":
+            n += 1
+            if n == 1:
+                for u in c:
+                    if _local(u.tag) == "Unicode":
+                        text = "".join(u.itertext())
+                        break
+    return text, n
+
+
+def _coords_of(elem: ET.Element, name: str = "Coords") -> Optional[list[dict]]:
+    for c in elem:
+        if _local(c.tag) == name:
+            return _parse_points(_attr(c, "points"))
+    return None
+
+
+def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
+    """Extract one document. mode: "text" (lean) or "full" (+hierarchy).
+
+    Returns a dict of the EXTRACT_*_SCHEMA fields (minus the passthrough
+    url/warc_ts/lang/html_bytes, which the batch wrapper adds).
+    """
+    out: dict[str, Any] = {
+        "text": None,
+        "spans": None,
+        "n_regions": 0,
+        "n_lines": 0,
+        "n_words": 0,
+        "error": None,
+    }
+    if mode == "full":
+        out["regions"] = None
+    try:
+        root = ET.fromstring(data)
+    except ET.ParseError as e:
+        out["error"] = f"parse: {e}"
+        return out
+
+    page = None
+    if _local(root.tag) == "PcGts":
+        for c in root:
+            if isinstance(c.tag, str) and _local(c.tag) == "Page":
+                page = c
+                break
+
+    # An unrecognized root or a PcGts without a Page has no regions:
+    # doc_text is the empty join, matching the oracle.
+    region_elems: dict[str, ET.Element] = {}
+    ro_entries: list[tuple[int, str]] = []
+    if page is not None:
+        for c in page:
+            if not isinstance(c.tag, str):
+                continue
+            ln = _local(c.tag)
+            if ln == "TextRegion":
+                rid = _attr(c, "id")
+                if rid is not None and rid not in region_elems:
+                    region_elems[rid] = c  # first match wins
+            elif ln == "ReadingOrder":
+                for group in c:
+                    if not isinstance(group.tag, str):
+                        continue
+                    for rri in group:
+                        if not isinstance(rri.tag, str):
+                            continue
+                        if _local(rri.tag) != "RegionRefIndexed":
+                            continue
+                        idx_s = _attr(rri, "index")
+                        rid = _attr(rri, "regionRef")
+                        if idx_s is None or rid is None:
+                            continue  # silent skip (page/page.go:144-146)
+                        try:
+                            ro_entries.append((_atoi(idx_s), rid))
+                        except ValueError:
+                            continue
+    ro_entries.sort(key=lambda t: t[0])
+
+    parts: list[str] = []
+    spans: list[dict] = []
+    regions_out: list[dict] = []
+    n_lines = 0
+    n_words = 0
+    off = 0
+    full = mode == "full"
+
+    for seq, (ro_index, rid) in enumerate(ro_entries):
+        elem = region_elems.get(rid)
+        rtext: Optional[str] = None
+        n_te = 0
+        lines_out: list[dict] = []
+        r_coords = None
+        if elem is not None:
+            rtext, n_te = _first_text_equiv(elem)
+            if full:
+                r_coords = _coords_of(elem)
+            for lc in elem:
+                if _local(lc.tag) != "TextLine":
+                    continue
+                n_lines += 1
+                words_out: list[dict] = []
+                lw = 0
+                for wc in lc:
+                    if _local(wc.tag) != "Word":
+                        continue
+                    lw += 1
+                    if full:
+                        wtext, _ = _first_text_equiv(wc)
+                        w_coords = _coords_of(wc)
+                        words_out.append(
+                            {
+                                "word_id": _attr(wc, "id") or "",
+                                "text": wtext,
+                                "coords": w_coords,
+                                "bbox": _bbox(w_coords),
+                            }
+                        )
+                n_words += lw
+                if full:
+                    ltext, _ = _first_text_equiv(lc)
+                    l_coords = _coords_of(lc)
+                    lines_out.append(
+                        {
+                            "line_id": _attr(lc, "id") or "",
+                            "text": ltext,
+                            "coords": l_coords,
+                            "bbox": _bbox(l_coords),
+                            "baseline": _coords_of(lc, "Baseline"),
+                            "words": words_out,
+                        }
+                    )
+        t = rtext if rtext is not None else ""
+        if seq > 0:
+            off += 1  # "\n" separator
+        spans.append({"region_id": rid, "start": off, "end": off + len(t)})
+        off += len(t)
+        parts.append(t)
+        if full:
+            regions_out.append(
+                {
+                    "region_id": rid,
+                    "rtype": _attr(elem, "type") if elem is not None else None,
+                    "ro_index": ro_index,
+                    "text": rtext,
+                    "n_alt_texts": max(0, n_te - 1),
+                    "coords": r_coords,
+                    "bbox": _bbox(r_coords),
+                    "missing_element": elem is None,
+                    "lines": lines_out,
+                }
+            )
+
+    out["text"] = "\n".join(parts)
+    out["spans"] = spans
+    out["n_regions"] = len(ro_entries)
+    out["n_lines"] = n_lines
+    out["n_words"] = n_words
+    if full:
+        out["regions"] = regions_out
+    return out
+
+
+def extract_batch(batch: pa.Table, mode: str = "text") -> pa.Table:
+    """map_batches body: pages batch in → extraction batch out.
+
+    Input columns used: url, html (and warc_ts / lang passed through
+    when present). Output schema: EXTRACT_TEXT_SCHEMA / EXTRACT_FULL_SCHEMA.
+    """
+    schema = EXTRACT_FULL_SCHEMA if mode == "full" else EXTRACT_TEXT_SCHEMA
+    htmls = batch.column("html").to_pylist()
+    n = len(htmls)
+    rows = [extract_doc(h, mode) if h is not None else {"error": "null html"} for h in htmls]
+
+    def col(name, default=None):
+        return [r.get(name, default) for r in rows]
+
+    arrays = {
+        "url": batch.column("url"),
+        "text": pa.array(col("text"), type=pa.string()),
+        "spans": pa.array(col("spans"), type=schema.field("spans").type),
+        "n_regions": pa.array(col("n_regions", 0), type=pa.int32()),
+        "n_lines": pa.array(col("n_lines", 0), type=pa.int32()),
+        "n_words": pa.array(col("n_words", 0), type=pa.int32()),
+        "html_bytes": pa.array(
+            [len(h) if h is not None else 0 for h in htmls], type=pa.int64()
+        ),
+        "error": pa.array(col("error"), type=pa.string()),
+    }
+    names = set(batch.schema.names)
+    arrays["warc_ts"] = (
+        batch.column("warc_ts")
+        if "warc_ts" in names
+        else pa.nulls(n, pa.timestamp("us"))
+    )
+    arrays["lang"] = (
+        batch.column("lang") if "lang" in names else pa.nulls(n, pa.string())
+    )
+    if mode == "full":
+        arrays["regions"] = pa.array(
+            col("regions"), type=schema.field("regions").type
+        )
+    return pa.table({f.name: arrays[f.name] for f in schema})

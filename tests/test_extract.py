@@ -1,0 +1,75 @@
+"""The single-pass extract kernel must be byte-identical to the oracle
+(and therefore to the reference semantics) on every document."""
+
+import pyarrow as pa
+import pytest
+
+from gocrd_ray import extract, oracle, pagegen
+
+
+def test_fixture_text_and_spans_match_oracle(kant_bytes):
+    p = oracle.Page.from_bytes(kant_bytes)
+    want_text, want_spans = p.doc_text_and_spans()
+    got = extract.extract_doc(kant_bytes, mode="full")
+    assert got["error"] is None
+    assert got["text"] == want_text  # byte-identical, incl. \n\t runs + ſ
+    assert [(s["region_id"], s["start"], s["end"]) for s in got["spans"]] == want_spans
+    assert got["n_regions"] == 4
+    assert got["n_words"] == 258
+
+
+def test_fixture_full_hierarchy_counts(kant_bytes):
+    got = extract.extract_doc(kant_bytes, mode="full")
+    regions = got["regions"]
+    assert [r["region_id"] for r in regions] == ["r_1_1", "r_2_1", "r_2_2", "r_2_3"]
+    assert regions[0]["bbox"] == {"x0": 846, "y0": 294, "x1": 1026, "y1": 337}
+    # golden line/word from page_test.go:102-104,127-128
+    r21 = regions[1]
+    tl2 = next(l for l in r21["lines"] if l["line_id"] == "tl_2")
+    w = next(x for x in tl2["words"] if x["word_id"] == "w_w1aab1b3b2b1b1ab1")
+    assert w["text"] == "gewiegelt"
+    tl11 = next(l for l in r21["lines"] if l["line_id"] == "tl_11")
+    assert tl11["text"] == "urtheile werden, eben ſowohl als die alten, zum"
+
+
+@pytest.mark.parametrize("start", [0, 500])
+def test_adversarial_corpus_matches_oracle_and_ground_truth(start):
+    for i in range(start, start + 250):
+        d = pagegen.gen_doc(i)
+        got = extract.extract_doc(d["html"])
+        if d["text"] is None:  # poison row: captured error, no crash
+            assert got["error"] is not None
+            assert got["text"] is None
+            continue
+        assert got["error"] is None
+        o = oracle.Page.from_bytes(d["html"]).doc_text()
+        assert got["text"] == o == d["text"], f"doc {i}"
+
+
+def test_regular_generator_matches_oracle():
+    tbl = pa.table(
+        {
+            "doc_id": list(range(12)),
+            "text": ["w%d" % i + " x y z a b c d e f g h i j k l m n o p q" for i in range(12)],
+            "lang": ["en"] * 12,
+        }
+    )
+    pages = pagegen.pages_batch_from_documents(tbl)
+    out = extract.extract_batch(pages)
+    assert out["text"].to_pylist() == pages["text"].to_pylist()
+    for html, gt in zip(pages["html"].to_pylist(), pages["text"].to_pylist()):
+        assert oracle.Page.from_bytes(html).doc_text() == gt
+
+
+def test_extract_batch_schema_and_spans():
+    pages = pagegen.gen_corpus_table(0, 64)
+    out = extract.extract_batch(pages, mode="full")
+    assert out.schema.names == [f.name for f in extract.EXTRACT_FULL_SCHEMA]
+    for text, spans in zip(out["text"].to_pylist(), out["spans"].to_pylist()):
+        if text is None:
+            continue
+        # spans tile doc_text exactly: "\n".join(segments) == doc_text
+        segs = [text[s["start"] : s["end"]] for s in spans]
+        assert "\n".join(segs) == text
+        for s, prev in zip(spans[1:], spans):
+            assert s["start"] == prev["end"] + 1
