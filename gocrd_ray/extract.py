@@ -127,18 +127,25 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
 
     # An unrecognized root or a PcGts without a Page has no regions:
     # doc_text is the empty join, matching the oracle.
-    region_elems: dict[str, ET.Element] = {}
-    ro_entries: list[tuple[int, str]] = []
+    #
+    # candidates = every element child of Page except ReadingOrder, in
+    # document order — the reference's wildcard paths (/Page/*/TextLine,
+    # /Page/*/*/Word, page/page.go:98,104-106) iterate ALL Page children,
+    # including SeparatorRegion etc., so the full hierarchy keeps them.
+    # region_elems = first TextRegion per id — the target of absolute
+    # /PcGts/Page/TextRegion[@id=...] resolution (page/page.go:43-45).
+    candidates: list[tuple[int, str, ET.Element]] = []  # (doc_order, tag, elem)
+    region_elems: dict[str, tuple[int, ET.Element]] = {}
+    ro_entries: list[tuple[int, str, int]] = []  # (index, rid, ro_pos)
+    ro_malformed: list[tuple[int, str]] = []  # (ro_pos, rid-or-"")
     if page is not None:
+        pos = 0
+        ro_pos = 0
         for c in page:
             if not isinstance(c.tag, str):
                 continue
             ln = _local(c.tag)
-            if ln == "TextRegion":
-                rid = _attr(c, "id")
-                if rid is not None and rid not in region_elems:
-                    region_elems[rid] = c  # first match wins
-            elif ln == "ReadingOrder":
+            if ln == "ReadingOrder":
                 for group in c:
                     if not isinstance(group.tag, str):
                         continue
@@ -149,12 +156,24 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
                             continue
                         idx_s = _attr(rri, "index")
                         rid = _attr(rri, "regionRef")
-                        if idx_s is None or rid is None:
-                            continue  # silent skip (page/page.go:144-146)
                         try:
-                            ro_entries.append((_atoi(idx_s), rid))
+                            if idx_s is None or rid is None:
+                                raise ValueError(idx_s)
+                            ro_entries.append((_atoi(idx_s), rid, ro_pos))
                         except ValueError:
-                            continue
+                            # silently skipped by Regions()
+                            # (page/page.go:144-146) — but still an XPath
+                            # hit for region-only Find (page/page.go:103),
+                            # so full mode keeps it for first-match logic
+                            ro_malformed.append((ro_pos, rid or ""))
+                        ro_pos += 1
+                continue
+            candidates.append((pos, ln, c))
+            if ln == "TextRegion":
+                rid = _attr(c, "id")
+                if rid is not None and rid not in region_elems:
+                    region_elems[rid] = (pos, c)  # first match wins
+            pos += 1
     ro_entries.sort(key=lambda t: t[0])
 
     parts: list[str] = []
@@ -165,51 +184,68 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
     off = 0
     full = mode == "full"
 
-    for seq, (ro_index, rid) in enumerate(ro_entries):
-        elem = region_elems.get(rid)
+    def region_body(elem: ET.Element) -> tuple[Optional[str], int, list, int, int]:
+        """Parse one TextRegion element's text + lines/words subtree.
+
+        Returns (text, n_text_equivs, lines_out, n_lines, n_words);
+        lines_out is only populated in full mode.
+        """
+        rtext, n_te = _first_text_equiv(elem)
+        lines_out: list[dict] = []
+        rl = rw = 0
+        for lc in elem:
+            if _local(lc.tag) != "TextLine":
+                continue
+            rl += 1
+            words_out: list[dict] = []
+            lw = 0
+            for wc in lc:
+                if _local(wc.tag) != "Word":
+                    continue
+                lw += 1
+                if full:
+                    wtext, _ = _first_text_equiv(wc)
+                    w_coords = _coords_of(wc)
+                    words_out.append(
+                        {
+                            "word_id": _attr(wc, "id") or "",
+                            "text": wtext,
+                            "coords": w_coords,
+                            "bbox": _bbox(w_coords),
+                        }
+                    )
+            rw += lw
+            if full:
+                ltext, _ = _first_text_equiv(lc)
+                l_coords = _coords_of(lc)
+                lines_out.append(
+                    {
+                        "line_id": _attr(lc, "id") or "",
+                        "text": ltext,
+                        "coords": l_coords,
+                        "bbox": _bbox(l_coords),
+                        "baseline": _coords_of(lc, "Baseline"),
+                        "words": words_out,
+                    }
+                )
+        return rtext, n_te, lines_out, rl, rw
+
+    used_elems: set[int] = set()
+    for seq, (ro_index, rid, ro_pos) in enumerate(ro_entries):
+        hit = region_elems.get(rid)
+        if hit is not None:
+            used_elems.add(id(hit[1]))
         rtext: Optional[str] = None
         n_te = 0
         lines_out: list[dict] = []
         r_coords = None
-        if elem is not None:
-            rtext, n_te = _first_text_equiv(elem)
+        if hit is not None:
+            _, elem = hit
+            rtext, n_te, lines_out, rl, rw = region_body(elem)
+            n_lines += rl
+            n_words += rw
             if full:
                 r_coords = _coords_of(elem)
-            for lc in elem:
-                if _local(lc.tag) != "TextLine":
-                    continue
-                n_lines += 1
-                words_out: list[dict] = []
-                lw = 0
-                for wc in lc:
-                    if _local(wc.tag) != "Word":
-                        continue
-                    lw += 1
-                    if full:
-                        wtext, _ = _first_text_equiv(wc)
-                        w_coords = _coords_of(wc)
-                        words_out.append(
-                            {
-                                "word_id": _attr(wc, "id") or "",
-                                "text": wtext,
-                                "coords": w_coords,
-                                "bbox": _bbox(w_coords),
-                            }
-                        )
-                n_words += lw
-                if full:
-                    ltext, _ = _first_text_equiv(lc)
-                    l_coords = _coords_of(lc)
-                    lines_out.append(
-                        {
-                            "line_id": _attr(lc, "id") or "",
-                            "text": ltext,
-                            "coords": l_coords,
-                            "bbox": _bbox(l_coords),
-                            "baseline": _coords_of(lc, "Baseline"),
-                            "words": words_out,
-                        }
-                    )
         t = rtext if rtext is not None else ""
         if seq > 0:
             off += 1  # "\n" separator
@@ -220,13 +256,71 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
             regions_out.append(
                 {
                     "region_id": rid,
-                    "rtype": _attr(elem, "type") if elem is not None else None,
+                    "tag": "TextRegion" if hit is not None else None,
+                    "rtype": _attr(hit[1], "type") if hit is not None else None,
                     "ro_index": ro_index,
+                    "ro_pos": ro_pos,
+                    "ro_malformed": False,
+                    "doc_order": hit[0] if hit is not None else None,
                     "text": rtext,
                     "n_alt_texts": max(0, n_te - 1),
                     "coords": r_coords,
                     "bbox": _bbox(r_coords),
-                    "missing_element": elem is None,
+                    "missing_element": hit is None,
+                    "lines": lines_out,
+                }
+            )
+
+    if full:
+        # Malformed ReadingOrder entries (bad @index / missing @regionRef):
+        # invisible to Regions()/doc_text, but the first document-order
+        # XPath hit for a region-only Find can be one of these — and then
+        # construction fails and the Find is "not found" even if a valid
+        # entry for the same ref follows (page/page.go:110-127,214-231).
+        for ro_pos, rid in ro_malformed:
+            regions_out.append(
+                {
+                    "region_id": rid,
+                    "tag": None,
+                    "rtype": None,
+                    "ro_index": None,
+                    "ro_pos": ro_pos,
+                    "ro_malformed": True,
+                    "doc_order": None,
+                    "text": None,
+                    "n_alt_texts": 0,
+                    "coords": None,
+                    "bbox": None,
+                    "missing_element": rid not in region_elems,
+                    "lines": [],
+                }
+            )
+        # Orphan elements: Page children not claimed by a ReadingOrder
+        # entry (TextRegions absent from RO, SeparatorRegions, duplicate-id
+        # TextRegions shadowed by first-match resolution). They never
+        # contribute to doc_text / n_* counts (page/page.go:139-153,
+        # page_test.go:23) but wildcard / compound Match paths reach them
+        # (page/page.go:96-108), so the hierarchy keeps them with a null
+        # ro_index, appended in document order.
+        for pos, tag, elem in candidates:
+            if id(elem) in used_elems:
+                continue
+            rtext, n_te, lines_out, _, _ = region_body(elem)
+            r_coords = _coords_of(elem)
+            regions_out.append(
+                {
+                    "region_id": _attr(elem, "id") or "",
+                    "tag": tag,
+                    "rtype": _attr(elem, "type"),
+                    "ro_index": None,
+                    "ro_pos": None,
+                    "ro_malformed": False,
+                    "doc_order": pos,
+                    "text": rtext,
+                    "n_alt_texts": max(0, n_te - 1),
+                    "coords": r_coords,
+                    "bbox": _bbox(r_coords),
+                    "missing_element": False,
                     "lines": lines_out,
                 }
             )

@@ -55,8 +55,20 @@ LINE = pa.struct(
 REGION = pa.struct(
     [
         ("region_id", pa.string()),
+        ("tag", pa.string()),  # element local name (TextRegion, SeparatorRegion…)
         ("rtype", pa.string()),  # TextRegion @type
-        ("ro_index", pa.int32()),  # reading-order index
+        ("ro_index", pa.int32()),  # reading-order index; null = orphan element
+        # (present in the DOM but absent from ReadingOrder — invisible to
+        # Regions()/doc_text, reachable via compound/wildcard Match,
+        # page/page.go:96-108 + page_test.go:23) or malformed RO entry
+        ("ro_pos", pa.int32()),  # document position of the RegionRefIndexed
+        # entry (first-match region lookup goes by THIS, page/page.go:103,111)
+        ("ro_malformed", pa.bool_()),  # RO entry with bad @index/@regionRef:
+        # skipped by Regions() but still the first XPath hit for a
+        # region-only Find, which then fails construction → not found
+        # (page/page.go:110-127,214-231)
+        ("doc_order", pa.int32()),  # element position among Page children; null
+        # = RO ref with no matching element (first-match semantics need it)
         ("text", pa.string()),
         ("n_alt_texts", pa.int32()),  # extra TextEquiv entries beyond the first
         ("coords", COORDS),
@@ -97,9 +109,13 @@ REGIONS_FLAT_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
         ("region_id", pa.string()),
+        ("tag", pa.string()),
         ("rtype", pa.string()),
-        ("ro_index", pa.int32()),
-        ("region_seq", pa.int32()),  # position in reading order, 0-based
+        ("ro_index", pa.int32()),  # null = orphan (not in reading order)
+        ("ro_pos", pa.int32()),
+        ("ro_malformed", pa.bool_()),
+        ("doc_order", pa.int32()),
+        ("region_seq", pa.int32()),  # position in the regions list, 0-based
         ("text", pa.string()),
         ("n_lines", pa.int32()),
         ("x0", pa.int32()),
@@ -113,6 +129,9 @@ LINES_FLAT_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
         ("region_id", pa.string()),
+        ("region_tag", pa.string()),
+        ("ro_index", pa.int32()),
+        ("doc_order", pa.int32()),
         ("region_seq", pa.int32()),
         ("line_id", pa.string()),
         ("line_seq", pa.int32()),  # document order within region, 0-based
@@ -129,6 +148,9 @@ WORDS_FLAT_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
         ("region_id", pa.string()),
+        ("region_tag", pa.string()),
+        ("ro_index", pa.int32()),
+        ("doc_order", pa.int32()),
         ("region_seq", pa.int32()),
         ("line_id", pa.string()),
         ("line_seq", pa.int32()),

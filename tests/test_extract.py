@@ -21,10 +21,15 @@ def test_fixture_text_and_spans_match_oracle(kant_bytes):
 def test_fixture_full_hierarchy_counts(kant_bytes):
     got = extract.extract_doc(kant_bytes, mode="full")
     regions = got["regions"]
-    assert [r["region_id"] for r in regions] == ["r_1_1", "r_2_1", "r_2_2", "r_2_3"]
-    assert regions[0]["bbox"] == {"x0": 846, "y0": 294, "x1": 1026, "y1": 337}
+    # reading-ordered regions first; orphan elements (PrintSpace,
+    # SeparatorRegions) follow with null ro_index
+    in_ro = [r for r in regions if r["ro_index"] is not None]
+    assert [r["region_id"] for r in in_ro] == ["r_1_1", "r_2_1", "r_2_2", "r_2_3"]
+    orphans = [r for r in regions if r["ro_index"] is None]
+    assert {r["tag"] for r in orphans} == {"PrintSpace", "SeparatorRegion"}
+    assert in_ro[0]["bbox"] == {"x0": 846, "y0": 294, "x1": 1026, "y1": 337}
     # golden line/word from page_test.go:102-104,127-128
-    r21 = regions[1]
+    r21 = in_ro[1]
     tl2 = next(l for l in r21["lines"] if l["line_id"] == "tl_2")
     w = next(x for x in tl2["words"] if x["word_id"] == "w_w1aab1b3b2b1b1ab1")
     assert w["text"] == "gewiegelt"
