@@ -74,7 +74,7 @@ def extract_pages(
             fn_constructor_kwargs={"mode": mode},
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=concurrency or 4,
+            concurrency=concurrency or (1, 4),
         )
     return pages.map_batches(
         extract_batch,

@@ -1,0 +1,478 @@
+"""Driver-facing query registry: every operator family from SURVEY.md §2
+(plus the [scale] training-data operators) as a named callable
+``(sf_dir) -> Dataset | pyarrow.Table``, each with a DuckDB-equivalent
+SQL string where the semantics are ANSI-SQL-expressible.
+
+The pages table is derived deterministically from the driver's
+``documents`` table (pagegen.pages_batch_from_documents), whose regular
+structure (words → lines of 8 → regions of 5 lines, fixed coordinate
+arithmetic) makes every extraction property SQL-mirrorable. Column names
+and integer widths (int64) are chosen to match DuckDB's output exactly.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..oracle import Match, MetsMatch
+from ..sources import manifest as mf
+from ..sources.pages import pages_from_documents
+from ..stages import dedup, explode, match, similarity, text_stats, window
+from . import metrics
+from .extract_pipeline import extract_pages
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+URL_SQL = (
+    "'https://h' || lpad((doc_id % 50)::VARCHAR, 2, '0') "
+    "|| '.example.com/doc/' || doc_id::VARCHAR"
+)
+# replace every 8th space with \n → lines of 8 words (pagegen layout)
+LINEBREAK_SQL = (
+    r"regexp_replace({col}, '((?:\S+ ){{7}}\S+) ', '\1' || chr(10), 'g')"
+)
+STOPWORDS_SQL = "(" + ", ".join(f"'{w}'" for w in text_stats.STOPWORDS) + ")"
+
+
+def _i64(t: pa.Table, cols: list[str]) -> pa.Table:
+    arrays = []
+    for name in t.column_names:
+        c = t.column(name)
+        arrays.append(pc.cast(c, pa.int64()) if name in cols else c)
+    return pa.table(dict(zip(t.column_names, arrays)))
+
+
+def _full(sf_dir: str):
+    return extract_pages(pages_from_documents(sf_dir), mode="full")
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_extract_text(sf_dir: str):
+    ext = extract_pages(pages_from_documents(sf_dir), mode="text")
+
+    def proj(b: pa.Table) -> pa.Table:
+        return _i64(
+            b.select(["url", "text", "n_regions", "n_lines", "n_words", "lang"]),
+            ["n_regions", "n_lines", "n_words"],
+        )
+
+    return ext.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_EXTRACT_TEXT = f"""
+SELECT {URL_SQL} AS url,
+       {LINEBREAK_SQL.format(col='text')} AS text,
+       (len(string_split(text, ' ')) + 39) // 40 AS n_regions,
+       (len(string_split(text, ' ')) + 7) // 8 AS n_lines,
+       len(string_split(text, ' ')) AS n_words,
+       lang
+FROM documents
+"""
+
+
+def q_regions_flat(sf_dir: str):
+    view = explode.regions_flat(_full(sf_dir))
+
+    def proj(b: pa.Table) -> pa.Table:
+        return _i64(
+            b.select(
+                ["url", "region_id", "region_seq", "text", "n_lines",
+                 "x0", "y0", "x1", "y1"]
+            ),
+            ["region_seq", "n_lines", "x0", "y0", "x1", "y1"],
+        )
+
+    return view.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_REGIONS_FLAT = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS nw
+  FROM documents
+), r AS (
+  SELECT doc_id, w, nw, unnest(range((nw + 39) // 40)) AS k FROM d
+), rr AS (
+  SELECT *, least((k + 1) * 40, nw) - k * 40 AS nwr FROM r
+)
+SELECT {URL_SQL} AS url,
+       'r_' || k::VARCHAR AS region_id,
+       k AS region_seq,
+       {LINEBREAK_SQL.format(col="array_to_string(w[(k*40+1):least((k+1)*40, nw)], ' ')")} AS text,
+       (nwr + 7) // 8 AS n_lines,
+       10 AS x0,
+       20 + 50 * (k * 5) AS y0,
+       480 AS x1,
+       20 + 50 * (k * 5 + (nwr + 7) // 8 - 1) + 40 AS y1
+FROM rr
+"""
+
+
+def q_lines_flat(sf_dir: str):
+    view = explode.lines_flat(_full(sf_dir))
+
+    def proj(b: pa.Table) -> pa.Table:
+        return _i64(
+            b.select(
+                ["url", "region_id", "line_id", "line_seq", "text", "n_words",
+                 "x0", "y0", "x1", "y1"]
+            ),
+            ["line_seq", "n_words", "x0", "y0", "x1", "y1"],
+        )
+
+    return view.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_LINES_FLAT = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS nw
+  FROM documents
+), l AS (
+  SELECT doc_id, w, nw, unnest(range((nw + 7) // 8)) AS i FROM d
+), ll AS (
+  SELECT *, least((i + 1) * 8, nw) - i * 8 AS nwl FROM l
+)
+SELECT {URL_SQL} AS url,
+       'r_' || (i // 5)::VARCHAR AS region_id,
+       'tl_' || i::VARCHAR AS line_id,
+       i % 5 AS line_seq,
+       array_to_string(w[(i*8+1):least((i+1)*8, nw)], ' ') AS text,
+       nwl AS n_words,
+       10 AS x0,
+       20 + 50 * i AS y0,
+       10 + 60 * (nwl - 1) + 50 AS x1,
+       20 + 50 * i + 40 AS y1
+FROM ll
+"""
+
+
+def q_words_flat(sf_dir: str):
+    view = explode.words_flat(_full(sf_dir))
+
+    def proj(b: pa.Table) -> pa.Table:
+        return _i64(
+            b.select(
+                ["url", "region_id", "line_id", "word_id", "word_seq", "text",
+                 "x0", "y0", "x1", "y1"]
+            ),
+            ["word_seq", "x0", "y0", "x1", "y1"],
+        )
+
+    return view.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_WORDS_FLAT = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS nw
+  FROM documents
+), u AS (
+  SELECT doc_id, unnest(w) AS word, unnest(range(nw)) AS i FROM d
+)
+SELECT {URL_SQL} AS url,
+       'r_' || ((i // 8) // 5)::VARCHAR AS region_id,
+       'tl_' || (i // 8)::VARCHAR AS line_id,
+       'w_' || (i // 8)::VARCHAR || '_' || (i % 8)::VARCHAR AS word_id,
+       i % 8 AS word_seq,
+       word AS text,
+       10 + 60 * (i % 8) AS x0,
+       20 + 50 * (i // 8) AS y0,
+       10 + 60 * (i % 8) + 50 AS x1,
+       20 + 50 * (i // 8) + 40 AS y1
+FROM u
+"""
+
+
+def q_match_line(sf_dir: str):
+    rows = match.match_rows(_full(sf_dir), Match(line_id="tl_3"))
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(["url", "region_id", "line_id", "text"])
+
+    return rows.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_MATCH_LINE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS nw
+  FROM documents
+)
+SELECT {URL_SQL} AS url,
+       'r_0' AS region_id,
+       'tl_3' AS line_id,
+       array_to_string(w[25:least(32, nw)], ' ') AS text
+FROM d
+WHERE nw > 24
+"""
+
+
+def q_match_word(sf_dir: str):
+    rows = match.match_rows(
+        _full(sf_dir), Match(region_id="r_1", line_id="tl_5", word_id="w_5_2")
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(["url", "region_id", "line_id", "word_id", "text"])
+
+    return rows.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_MATCH_WORD = f"""
+SELECT {URL_SQL} AS url,
+       'r_1' AS region_id,
+       'tl_5' AS line_id,
+       'w_5_2' AS word_id,
+       string_split(text, ' ')[43] AS text
+FROM documents
+WHERE len(string_split(text, ' ')) >= 43
+"""
+
+
+def q_per_host_stats(sf_dir: str):
+    ext = extract_pages(pages_from_documents(sf_dir), mode="text")
+    return metrics.per_host_stats(ext)
+
+
+SQL_PER_HOST_STATS = """
+SELECT 'h' || lpad((doc_id % 50)::VARCHAR, 2, '0') || '.example.com' AS host,
+       count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS total_words,
+       0 AS n_errors
+FROM documents
+GROUP BY host
+"""
+
+
+def q_top_hosts(sf_dir: str):
+    ext = extract_pages(pages_from_documents(sf_dir), mode="text")
+    return metrics.top_hosts(ext, 10)
+
+
+SQL_TOP_HOSTS = """
+SELECT 'h' || lpad((doc_id % 50)::VARCHAR, 2, '0') || '.example.com' AS host,
+       count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS total_words,
+       0 AS n_errors
+FROM documents
+GROUP BY host
+QUALIFY row_number() OVER (ORDER BY n_docs DESC, host ASC) <= 10
+"""
+
+
+def q_manifest_find(sf_dir: str):
+    man = mf.manifest_from_nation(sf_dir)
+    return mf.manifest_find(man, MetsMatch(use="GRP_0", mime_type=mf.PAGE_MIME))
+
+
+SQL_MANIFEST_FIND = f"""
+SELECT 'GRP_' || (CASE WHEN n_nationkey % 3 = 2 THEN 0
+                       ELSE n_nationkey % 3 END)::VARCHAR AS use,
+       'F_' || n_nationkey::VARCHAR AS file_id,
+       '{mf.PAGE_MIME}' AS mime_type,
+       'URL' AS loc_type,
+       'shards/part_' || lpad(n_nationkey::VARCHAR, 4, '0') || '.parquet' AS href
+FROM nation
+WHERE (CASE WHEN n_nationkey % 3 = 2 THEN 0 ELSE n_nationkey % 3 END) = 0
+  AND n_nationkey % 2 = 0
+"""
+
+
+def q_dedup_exact(sf_dir: str):
+    return dedup.exact_dedup(_docs(sf_dir))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def q_ngram_jaccard(sf_dir: str):
+    return dedup.ngram_jaccard_pairs(_docs(sf_dir))
+
+
+SQL_NGRAM_JACCARD = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         ELSE [array_to_string(w, ' ')] END AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.sh, b.sh)) AS inter,
+       len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) > 0
+  AND 2 * len(list_intersect(a.sh, b.sh))
+      >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+"""
+
+
+def q_token_stats(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        text_stats.token_stats_batch, batch_format="pyarrow"
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id, length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens
+FROM documents
+"""
+
+
+def q_quality(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        text_stats.quality_batch, batch_format="pyarrow"
+    )
+
+
+SQL_QUALITY = f"""
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       len(w) AS n_tokens,
+       len(list_filter(w, t -> t IN {STOPWORDS_SQL})) AS n_stopwords,
+       length(text) - length(regexp_replace(text, '[.,!?;:()]', '', 'g')) AS n_punct,
+       len(list_filter(w, t -> t IN {STOPWORDS_SQL}))::DOUBLE / len(w) AS stopword_ratio
+FROM d
+"""
+
+
+def q_knn_cosine(sf_dir: str):
+    return similarity.brute_force_topk(_emb(sf_dir), [0, 1, 2, 3, 4], k=10)
+
+
+SQL_KNN_COSINE = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5)
+SELECT q.query_id, e.vec_id AS neighbor_id,
+       row_number() OVER (
+         PARTITION BY q.query_id
+         ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                         e.embedding::DOUBLE[]) DESC,
+                  e.vec_id ASC
+       ) AS rank
+FROM q, embeddings e
+WHERE e.vec_id != q.query_id
+QUALIFY rank <= 10
+"""
+
+
+def q_events_window(sf_dir: str):
+    return window.tumbling_window(_events(sf_dir))
+
+
+SQL_EVENTS_WINDOW = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# -- rows-only queries (no faithful ANSI-SQL form) ---------------------------
+
+
+def q_dedup_minhash(sf_dir: str):
+    return dedup.lsh_candidate_pairs(_docs(sf_dir))
+
+
+def q_dedup_simhash(sf_dir: str):
+    return _docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow")
+
+
+def q_langid(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        text_stats.LangId, batch_format="pyarrow", concurrency=(1, 2)
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        text_stats.fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def q_knn_ivf(sf_dir: str):
+    return similarity.ivf_topk(_emb(sf_dir), [0, 1, 2, 3, 4], k=10)
+
+
+def q_neardup_cosine(sf_dir: str):
+    # random synthetic embeddings never reach real near-dup similarity;
+    # 0.5 exercises the pair kernel with a non-empty result
+    return similarity.cosine_neardup_pairs(_emb(sf_dir), threshold=0.5)
+
+
+def q_find_first_region(sf_dir: str):
+    """Corpus-wide Page.Find(Match{region}) — first-match semantics."""
+    ff = match.find_first(_full(sf_dir), Match(region_id="r_1"))
+
+    def proj(b: pa.Table) -> pa.Table:
+        return _i64(b.select(["url", "region_id", "ro_index"]), ["ro_index"])
+
+    return ff.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_FIND_FIRST_REGION = f"""
+SELECT {URL_SQL} AS url, 'r_1' AS region_id, 1 AS ro_index
+FROM documents
+WHERE len(string_split(text, ' ')) > 40
+"""
+
+
+QUERIES = {
+    "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
+    "regions_flat": (q_regions_flat, SQL_REGIONS_FLAT),
+    "lines_flat": (q_lines_flat, SQL_LINES_FLAT),
+    "words_flat": (q_words_flat, SQL_WORDS_FLAT),
+    "match_line": (q_match_line, SQL_MATCH_LINE),
+    "match_word": (q_match_word, SQL_MATCH_WORD),
+    "find_first_region": (q_find_first_region, SQL_FIND_FIRST_REGION),
+    "per_host_stats": (q_per_host_stats, SQL_PER_HOST_STATS),
+    "top_hosts": (q_top_hosts, SQL_TOP_HOSTS),
+    "manifest_find": (q_manifest_find, SQL_MANIFEST_FIND),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_score": (q_quality, SQL_QUALITY),
+    "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+    # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
+    "dedup_minhash": (q_dedup_minhash, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "langid": (q_langid, None),
+    "fingerprint": (q_fingerprint, None),
+    "knn_ivf": (q_knn_ivf, None),
+    "neardup_cosine": (q_neardup_cosine, None),
+}

@@ -123,7 +123,7 @@ def lsh_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "k": k, "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=(1, 4),
     )
 
     def to_buckets(batch: pa.Table) -> pa.Table:

@@ -102,7 +102,7 @@ def brute_force_topk(
         TopKScorer,
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k + 1, "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=(1, 4),
     )
 
     def merge(group: pa.Table) -> pa.Table:

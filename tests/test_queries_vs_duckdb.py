@@ -1,0 +1,106 @@
+"""Replicates the driver's correctness gate: every queries() entry with
+an oracle_sql() runs through Ray AND DuckDB at sf=0.01 and must agree on
+row count, column names, and order-insensitive values."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c])
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _compare(name, ray_df, sql_df):
+    assert len(ray_df) == len(sql_df), (
+        f"{name}: row count {len(ray_df)} != {len(sql_df)}"
+    )
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), (
+        f"{name}: columns {sorted(ray_df.columns)} != {sorted(sql_df.columns)}"
+    )
+    a, b = _canon(ray_df), _canon(sql_df)
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        if a[c].dtype.kind == "f":
+            assert all(
+                (math.isnan(x) and math.isnan(y)) or x == y
+                for x, y in zip(av, bv)
+            ), f"{name}.{c}: float mismatch"
+        else:
+            assert av == bv, f"{name}.{c}: value mismatch (first diff: " + str(
+                next(((x, y) for x, y in zip(av, bv) if x != y), None)
+            ) + ")"
+
+
+def _query_names():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    return sorted(e.oracle_sql())
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_matches_oracle(ray_session, con, name):
+    import __ray_entry__ as e
+
+    ray_df = _to_pandas(e.queries()[name](SF_DIR))
+    sql_df = con.execute(e.oracle_sql()[name]).df()
+    _compare(name, ray_df, sql_df)
+
+
+def test_rows_only_queries_run(ray_session):
+    import __ray_entry__ as e
+
+    sqls = e.oracle_sql()
+    for name, fn in e.queries().items():
+        if name in sqls:
+            continue
+        df = _to_pandas(fn(SF_DIR))
+        assert df is not None and len(df.columns) > 0, name
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    df = _to_pandas(ds)
+    assert len(df) == 500
+    assert set(["url", "text", "error"]).issubset(df.columns)
+    assert df["error"].isna().all()
