@@ -53,17 +53,20 @@ def extract_pages(
     pages: ray.data.Dataset,
     *,
     mode: str = "text",
-    batch_size: int = 64,
+    batch_size: int | None = None,
     concurrency=None,
     drop_html: bool = True,
     use_actors: bool = False,
 ) -> ray.data.Dataset:
     """pages Dataset → extraction Dataset (EXTRACT_*_SCHEMA).
 
-    ``batch_size`` is deliberately small: a batch holds whole HTML
-    payloads (KB–MB each), so batch bytes — not row count — bound worker
-    heap. 64 rows × ~32 KB median ≈ 2 MB/batch; giant rows are split by
-    Ray Data's dynamic block splitting on output.
+    ``batch_size=None`` (default) maps whole blocks — block size is
+    already byte-bounded by DataContext.target_max_block_size (128 MB),
+    which is the right memory cap for variable-size HTML payloads.
+    Forcing a small row-count batch_size measurably HURTS: rebatching
+    500-row blocks into 64-row slices cost ~2x wall time at 32 CPUs
+    (measured sf0.1: 7.5s → 3.6s). Giant rows are handled by dynamic
+    block splitting on output, not by shrinking every batch.
     """
     # `html` never leaves this stage: extract_batch's output schema
     # excludes it, which is what keeps downstream blocks narrow.
@@ -82,6 +85,7 @@ def extract_pages(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        zero_copy_batch=True,  # extract never mutates its input batch
     )
 
 
