@@ -1,0 +1,79 @@
+"""Scalar kits (SURVEY.md §2.8): coordinate parsing, bbox reduction,
+span arithmetic, url helpers — vectorized where Arrow kernels exist.
+
+The per-row forms live in extract.py's hot path; these are the reusable/
+testable equivalents plus vectorized variants for standalone columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..oracle import PolygonError, bbox, parse_points
+
+__all__ = ["parse_points", "bbox", "PolygonError", "bbox_of_coords_column",
+           "host_of_url", "spans_cover", "span_slice"]
+
+
+def bbox_of_coords_column(coords: pa.Array) -> pa.Array:
+    """list<struct{x,y}> column → struct{x0,y0,x1,y1} column, vectorized.
+
+    Null coords → null bbox (reference: polygon error, SURVEY §2.12.9).
+    """
+    if isinstance(coords, pa.ChunkedArray):
+        coords = coords.combine_chunks()
+    flat = pc.list_flatten(coords)
+    parents = pc.list_parent_indices(coords).to_numpy(zero_copy_only=False)
+    xs = pc.struct_field(flat, "x").to_numpy(zero_copy_only=False)
+    ys = pc.struct_field(flat, "y").to_numpy(zero_copy_only=False)
+    n = len(coords)
+    x0 = np.full(n, np.iinfo(np.int64).max)
+    y0 = np.full(n, np.iinfo(np.int64).max)
+    x1 = np.full(n, np.iinfo(np.int64).min)
+    y1 = np.full(n, np.iinfo(np.int64).min)
+    np.minimum.at(x0, parents, xs)
+    np.minimum.at(y0, parents, ys)
+    np.maximum.at(x1, parents, xs)
+    np.maximum.at(y1, parents, ys)
+    lengths = pc.list_value_length(coords).to_numpy(zero_copy_only=False)
+    valid = ~np.isnan(np.where(np.isnan(lengths), np.nan, lengths)) & (
+        np.nan_to_num(lengths, nan=0) > 0
+    )
+    def arr(v):
+        return pa.array(
+            [int(x) if ok else None for x, ok in zip(v, valid)], pa.int32()
+        )
+    return pa.StructArray.from_arrays(
+        [arr(x0), arr(y0), arr(x1), arr(y1)],
+        names=["x0", "y0", "x1", "y1"],
+        mask=pa.array([not ok for ok in valid]),  # null/empty coords → null bbox
+    )
+
+
+def host_of_url(urls: pa.Array) -> pa.Array:
+    """Vectorized authority extraction: 'scheme://host/…' → host."""
+    return pc.struct_field(
+        pc.extract_regex(urls, r"^[a-z]+://(?P<host>[^/]+)/"), "host"
+    )
+
+
+def spans_cover(text: str, spans: list[dict]) -> bool:
+    """Invariant check: spans tile doc_text with single-\\n separators
+    (SURVEY §2.12.10)."""
+    if not spans:
+        return text == ""
+    if spans[0]["start"] != 0 or spans[-1]["end"] != len(text):
+        return False
+    for prev, cur in zip(spans, spans[1:]):
+        if cur["start"] != prev["end"] + 1:
+            return False
+        if text[prev["end"]] != "\n":
+            return False
+    return True
+
+
+def span_slice(text: str, span: dict) -> str:
+    """The region text a span denotes — byte-exact."""
+    return text[span["start"] : span["end"]]

@@ -1,0 +1,55 @@
+"""Multimodal plumbing: schemas, actor-pool stages, strict stub."""
+
+import pyarrow as pa
+import pytest
+
+from gocrd_ray.stages import multimodal as mm
+
+
+def _media_table(n=8):
+    return pa.table(
+        {
+            "media_id": pa.array([f"m{i}" for i in range(n)], pa.string()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array([bytes([i]) * (100 + i) for i in range(n)], pa.binary()),
+            "mime_type": pa.array(["image/jpeg"] * n, pa.string()),
+        },
+        schema=mm.MEDIA_SCHEMA,
+    )
+
+
+def test_fake_image_decoder_deterministic():
+    dec = mm.FakeImageDecoder()
+    out1 = dec(_media_table())
+    out2 = dec(_media_table())
+    assert out1.equals(out2)
+    assert out1.schema.equals(mm.IMAGE_META_SCHEMA)
+    assert all(1 <= w <= 4096 for w in out1.column("width").to_pylist())
+    assert out1.column("n_bytes").to_pylist() == [100 + i for i in range(8)]
+
+
+def test_strict_decoder_raises():
+    with pytest.raises(NotImplementedError):
+        mm.StrictImageDecoder()(_media_table())
+
+
+def test_audio_featurizer_shape():
+    out = mm.FakeAudioFeaturizer()(_media_table())
+    assert out.schema.equals(mm.AUDIO_FEAT_SCHEMA)
+    assert all(len(f) == 16 for f in out.column("features").to_pylist())
+
+
+def test_actor_pool_pipeline(ray_session):
+    import ray.data
+
+    from gocrd_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents("/root/testdata/sf0.001")
+    media = mm.media_from_pages(pages)
+    meta = mm.decode_images(media, batch_size=32, concurrency=(1, 2))
+    rows = meta.take_all()
+    assert len(rows) == 500
+    assert all(r["n_bytes"] > 0 for r in rows)
+    # featurize path through the Dataset API too
+    feats = mm.featurize_audio(media, batch_size=32).take(5)
+    assert all(len(r["features"]) == 16 for r in feats)

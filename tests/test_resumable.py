@@ -1,0 +1,89 @@
+"""Resumable checkpoint pipeline: lineage records, skip-on-resume,
+crash recovery of a partial unit."""
+
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from gocrd_ray import pagegen
+from gocrd_ray.pipelines import resumable
+
+
+@pytest.fixture(scope="module")
+def shards(tmp_path_factory):
+    d = tmp_path_factory.mktemp("shards")
+    paths = []
+    for i in range(6):
+        t = pagegen.gen_corpus_table(i * 50, 50)
+        p = str(d / f"shard_{i:03d}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    return paths
+
+
+def test_plan_units_deterministic(shards):
+    u1 = resumable.plan_units(shards, 2)
+    u2 = resumable.plan_units(list(reversed(shards)), 2)
+    assert u1 == u2  # order-insensitive (sorted inside)
+    assert len(u1) == 3
+    assert all(len(m) == 2 for _, m in u1)
+
+
+def test_run_and_resume(ray_session, shards, tmp_path):
+    out = str(tmp_path / "out")
+    s1 = resumable.run_resumable(shards, out, shards_per_unit=2)
+    assert s1["units"] == 3
+    assert s1["rows"] == 300
+    assert s1["skipped_this_run"] == 0
+    assert s1["errors"] == sum(1 for i in range(300) if i % 211 == 5)
+
+    # full resume: everything skipped, summary unchanged
+    s2 = resumable.run_resumable(shards, out, shards_per_unit=2)
+    assert s2["skipped_this_run"] == 3
+    assert s2["rows"] == 300
+
+    # output is complete and byte-identical per url
+    got = pq.ParquetDataset(os.path.join(out, "data")).read(
+        columns=["url", "text"]
+    )
+    texts = dict(zip(got.column("url").to_pylist(), got.column("text").to_pylist()))
+    assert len(texts) == 300
+    for i in range(300):
+        d = pagegen.gen_doc(i)
+        assert texts[d["url"]] == d["text"]
+
+
+def test_crash_recovery_partial_unit(ray_session, shards, tmp_path):
+    out = str(tmp_path / "out")
+    resumable.run_resumable(shards, out, shards_per_unit=2)
+
+    # simulate a crash: delete one unit's lineage, corrupt its data dir
+    units = resumable.plan_units(shards, 2)
+    victim = units[1][0]
+    os.remove(os.path.join(out, "lineage", f"{victim}.json"))
+    unit_dir = os.path.join(out, "data", f"unit={victim}")
+    with open(os.path.join(unit_dir, "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+
+    s = resumable.run_resumable(shards, out, shards_per_unit=2)
+    assert s["skipped_this_run"] == 2  # the other two skipped
+    assert s["units"] == 3 and s["rows"] == 300
+    # the partial garbage was cleared before rewrite
+    got = pq.ParquetDataset(unit_dir).read(columns=["url"])
+    assert got.num_rows == 100
+
+
+def test_lineage_records_carry_inputs(ray_session, shards, tmp_path):
+    out = str(tmp_path / "out")
+    resumable.run_resumable(shards, out, shards_per_unit=3)
+    recs = [
+        json.load(open(os.path.join(out, "lineage", f)))
+        for f in sorted(os.listdir(os.path.join(out, "lineage")))
+    ]
+    assert len(recs) == 2
+    all_inputs = sorted(sum((r["input_shards"] for r in recs), []))
+    assert all_inputs == sorted(shards)
+    assert all(r["html_bytes"] > 0 and r["wall_sec"] > 0 for r in recs)
