@@ -304,6 +304,39 @@ WHERE (CASE WHEN n_nationkey % 3 = 2 THEN 0 ELSE n_nationkey % 3 END) = 0
 """
 
 
+def q_lang_counts(sf_dir: str):
+    ext = extract_pages(pages_from_documents(sf_dir), mode="text")
+    agg = ext.groupby("lang").count()
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["lang", "n_docs"])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_LANG_COUNTS = """
+SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+"""
+
+
+def q_dedup_url(sf_dir: str):
+    # union the corpus with itself → every url twice → per-url dedup
+    # restores exactly one row per url (union + groupby shuffle)
+    pages = pages_from_documents(sf_dir)
+    doubled = pages.union(pages_from_documents(sf_dir))
+    deduped = dedup.dedup_by_url(doubled)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(["url", "lang"])
+
+    return deduped.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_DEDUP_URL = f"""
+SELECT {URL_SQL} AS url, lang FROM documents
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_docs(sf_dir))
 
@@ -463,6 +496,8 @@ QUERIES = {
     "top_hosts": (q_top_hosts, SQL_TOP_HOSTS),
     "manifest_find": (q_manifest_find, SQL_MANIFEST_FIND),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_url": (q_dedup_url, SQL_DEDUP_URL),
+    "lang_counts": (q_lang_counts, SQL_LANG_COUNTS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_score": (q_quality, SQL_QUALITY),

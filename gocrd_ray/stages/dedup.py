@@ -50,6 +50,18 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def dedup_by_url(pages_ds):
+    """Exact per-url dedup for the pages corpus (SURVEY.md §2.7): one
+    row per url, first-in-group wins — the hash shuffle on `url` is the
+    engine's ONE required shuffle for the per-url invariant."""
+    import pyarrow as pa
+
+    def first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return pages_ds.groupby("url").map_groups(first, batch_format="pyarrow")
+
+
 # -- shingles / MinHash ------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
