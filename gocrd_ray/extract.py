@@ -25,6 +25,19 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1] if tag.startswith("{") else tag
 
 
+class _LocalMemo(dict):
+    """tag → local-name memo. ElementTree interns tag strings per parser,
+    so after the first few documents every lookup is a dict hit — this
+    removes ~180 rsplit/startswith calls per document from the hot path."""
+
+    def __missing__(self, tag):
+        v = self[tag] = _local(tag)
+        return v
+
+
+_LOCAL = _LocalMemo()
+
+
 def _attr(elem: ET.Element, name: str) -> Optional[str]:
     a = elem.attrib
     v = a.get(name)
@@ -79,11 +92,11 @@ def _first_text_equiv(elem: ET.Element) -> tuple[Optional[str], int]:
     n = 0
     text = None
     for c in elem:
-        if _local(c.tag) == "TextEquiv":
+        if _LOCAL[c.tag] == "TextEquiv":
             n += 1
             if n == 1:
                 for u in c:
-                    if _local(u.tag) == "Unicode":
+                    if _LOCAL[u.tag] == "Unicode":
                         text = "".join(u.itertext())
                         break
     return text, n
@@ -91,7 +104,7 @@ def _first_text_equiv(elem: ET.Element) -> tuple[Optional[str], int]:
 
 def _coords_of(elem: ET.Element, name: str = "Coords") -> Optional[list[dict]]:
     for c in elem:
-        if _local(c.tag) == name:
+        if _LOCAL[c.tag] == name:
             return _parse_points(_attr(c, "points"))
     return None
 
@@ -119,9 +132,9 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
         return out
 
     page = None
-    if _local(root.tag) == "PcGts":
+    if _LOCAL[root.tag] == "PcGts":
         for c in root:
-            if isinstance(c.tag, str) and _local(c.tag) == "Page":
+            if isinstance(c.tag, str) and _LOCAL[c.tag] == "Page":
                 page = c
                 break
 
@@ -144,7 +157,7 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
         for c in page:
             if not isinstance(c.tag, str):
                 continue
-            ln = _local(c.tag)
+            ln = _LOCAL[c.tag]
             if ln == "ReadingOrder":
                 for group in c:
                     if not isinstance(group.tag, str):
@@ -152,7 +165,7 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
                     for rri in group:
                         if not isinstance(rri.tag, str):
                             continue
-                        if _local(rri.tag) != "RegionRefIndexed":
+                        if _LOCAL[rri.tag] != "RegionRefIndexed":
                             continue
                         idx_s = _attr(rri, "index")
                         rid = _attr(rri, "regionRef")
@@ -194,13 +207,13 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
         lines_out: list[dict] = []
         rl = rw = 0
         for lc in elem:
-            if _local(lc.tag) != "TextLine":
+            if _LOCAL[lc.tag] != "TextLine":
                 continue
             rl += 1
             words_out: list[dict] = []
             lw = 0
             for wc in lc:
-                if _local(wc.tag) != "Word":
+                if _LOCAL[wc.tag] != "Word":
                     continue
                 lw += 1
                 if full:

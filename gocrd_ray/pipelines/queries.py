@@ -420,6 +420,30 @@ QUALIFY rank <= 10
 """
 
 
+def q_sessionize(sf_dir: str):
+    return window.sessionize(_events(sf_dir), gap_minutes=30)
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+  FROM e
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 def q_events_window(sf_dir: str):
     return window.tumbling_window(_events(sf_dir))
 
@@ -503,6 +527,7 @@ QUERIES = {
     "quality_score": (q_quality, SQL_QUALITY),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),

@@ -64,3 +64,61 @@ def tumbling_window(events_ds, unit: str = "hour"):
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def sessionize(events_ds, gap_minutes: int = 30):
+    """Gap-based sessionization per user: a new session starts when the
+    time since the previous event (ordered by ts, event_id) exceeds the
+    gap. Returns (user_id, session_seq, n_events, first_ts, last_ts).
+
+    The groupby(user_id) hash shuffle moves raw events once; session
+    assignment is a sorted linear scan per group — state never crosses
+    groups, so users partition freely across the cluster.
+    """
+    import datetime
+
+    gap = datetime.timedelta(minutes=gap_minutes)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(
+                group.column("ts").to_pylist(),
+                group.column("event_id").to_pylist(),
+            )
+        )
+        user = group.column("user_id")[0].as_py()
+        seq = -1
+        prev = None
+        out = []  # (session_seq, ts)
+        for ts, _eid in rows:
+            if prev is None or (ts - prev) > gap:
+                seq += 1
+            out.append((seq, ts))
+            prev = ts
+        sessions = {}
+        for s, ts in out:
+            if s not in sessions:
+                sessions[s] = [0, ts, ts]
+            sessions[s][0] += 1
+            sessions[s][2] = ts
+        return pa.table(
+            {
+                "user_id": pa.array([user] * len(sessions), pa.int64()),
+                "session_seq": pa.array(sorted(sessions), pa.int64()),
+                "n_events": pa.array(
+                    [sessions[s][0] for s in sorted(sessions)], pa.int64()
+                ),
+                "first_ts": pa.array(
+                    [sessions[s][1] for s in sorted(sessions)],
+                    pa.timestamp("us"),
+                ),
+                "last_ts": pa.array(
+                    [sessions[s][2] for s in sorted(sessions)],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(
+        per_user, batch_format="pyarrow"
+    )
