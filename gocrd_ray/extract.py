@@ -102,6 +102,22 @@ def _first_text_equiv(elem: ET.Element) -> tuple[Optional[str], int]:
     return text, n
 
 
+def _all_text_equivs(elem: ET.Element) -> list[Optional[str]]:
+    """Every ./TextEquiv/Unicode string value in order — the full
+    TextEquivUnicodeAt(pos) surface (page/page.go:35-37,197-204); a
+    TextEquiv without a Unicode child contributes None (= ok:false)."""
+    out: list[Optional[str]] = []
+    for c in elem:
+        if _LOCAL[c.tag] == "TextEquiv":
+            text = None
+            for u in c:
+                if _LOCAL[u.tag] == "Unicode":
+                    text = "".join(u.itertext())
+                    break
+            out.append(text)
+    return out
+
+
 def _coords_of(elem: ET.Element, name: str = "Coords") -> Optional[list[dict]]:
     for c in elem:
         if _LOCAL[c.tag] == name:
@@ -219,10 +235,12 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
                 if full:
                     wtext, _ = _first_text_equiv(wc)
                     w_coords = _coords_of(wc)
+                    w_all = _all_text_equivs(wc)
                     words_out.append(
                         {
                             "word_id": _attr(wc, "id") or "",
                             "text": wtext,
+                            "alt_texts": w_all[1:] if len(w_all) > 1 else [],
                             "coords": w_coords,
                             "bbox": _bbox(w_coords),
                         }
@@ -231,10 +249,12 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
             if full:
                 ltext, _ = _first_text_equiv(lc)
                 l_coords = _coords_of(lc)
+                l_all = _all_text_equivs(lc)
                 lines_out.append(
                     {
                         "line_id": _attr(lc, "id") or "",
                         "text": ltext,
+                        "alt_texts": l_all[1:] if len(l_all) > 1 else [],
                         "coords": l_coords,
                         "bbox": _bbox(l_coords),
                         "baseline": _coords_of(lc, "Baseline"),
@@ -276,6 +296,9 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
                     "ro_malformed": False,
                     "doc_order": hit[0] if hit is not None else None,
                     "text": rtext,
+                    "alt_texts": (
+                        _all_text_equivs(hit[1])[1:] if hit is not None and n_te > 1 else []
+                    ),
                     "n_alt_texts": max(0, n_te - 1),
                     "coords": r_coords,
                     "bbox": _bbox(r_coords),
@@ -301,6 +324,7 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
                     "ro_malformed": True,
                     "doc_order": None,
                     "text": None,
+                    "alt_texts": [],
                     "n_alt_texts": 0,
                     "coords": None,
                     "bbox": None,
@@ -330,6 +354,7 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
                     "ro_malformed": False,
                     "doc_order": pos,
                     "text": rtext,
+                    "alt_texts": _all_text_equivs(elem)[1:] if n_te > 1 else [],
                     "n_alt_texts": max(0, n_te - 1),
                     "coords": r_coords,
                     "bbox": _bbox(r_coords),

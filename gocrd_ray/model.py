@@ -36,6 +36,9 @@ WORD = pa.struct(
     [
         ("word_id", pa.string()),
         ("text", pa.string()),  # null = no TextEquiv/Unicode (reference: ok=false)
+        ("alt_texts", pa.list_(pa.string())),  # TextEquiv[1:]/Unicode values —
+        # TextEquivUnicodeAt(pos>0) (page/page.go:35-37); null entry = a
+        # TextEquiv with no Unicode child
         ("coords", COORDS),  # null = missing/malformed Coords
         ("bbox", BBOX),
     ]
@@ -45,6 +48,7 @@ LINE = pa.struct(
     [
         ("line_id", pa.string()),
         ("text", pa.string()),
+        ("alt_texts", pa.list_(pa.string())),
         ("coords", COORDS),
         ("bbox", BBOX),
         ("baseline", COORDS),
@@ -70,6 +74,7 @@ REGION = pa.struct(
         ("doc_order", pa.int32()),  # element position among Page children; null
         # = RO ref with no matching element (first-match semantics need it)
         ("text", pa.string()),
+        ("alt_texts", pa.list_(pa.string())),
         ("n_alt_texts", pa.int32()),  # extra TextEquiv entries beyond the first
         ("coords", COORDS),
         ("bbox", BBOX),

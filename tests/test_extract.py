@@ -78,3 +78,34 @@ def test_extract_batch_schema_and_spans():
         assert "\n".join(segs) == text
         for s, prev in zip(spans[1:], spans):
             assert s["start"] == prev["end"] + 1
+
+
+def test_alt_texts_match_oracle():
+    """TextEquivUnicodeAt(pos>0) surface: alt_texts[pos-1] must equal the
+    oracle's positional lookup for every node that has alternatives."""
+    checked = 0
+    for i in range(0, 120):
+        d = pagegen.gen_doc(i)
+        if d["text"] is None:
+            continue
+        page = oracle.Page.from_bytes(d["html"])
+        got = extract.extract_doc(d["html"], mode="full")
+        regions = {r.id(): r for r in page.regions()}
+        for r in got["regions"]:
+            if r["ro_index"] is None or r["missing_element"]:
+                continue
+            node = regions[r["region_id"]]
+            for pos in range(1, r["n_alt_texts"] + 1):
+                want, ok = node.text_equiv_unicode_at(pos)
+                assert ok and r["alt_texts"][pos - 1] == want
+                checked += 1
+            # out-of-range: absent in both
+            t, ok = node.text_equiv_unicode_at(r["n_alt_texts"] + 1)
+            assert not ok
+            for line, lnode in zip(r["lines"], node.lines()):
+                for w, wnode in zip(line["words"], lnode.words()):
+                    for pos in range(1, len(w["alt_texts"]) + 1):
+                        want, ok = wnode.text_equiv_unicode_at(pos)
+                        assert ok and w["alt_texts"][pos - 1] == want
+                        checked += 1
+    assert checked > 50  # the corpus must actually exercise alternatives
