@@ -469,6 +469,10 @@ def q_dedup_simhash(sf_dir: str):
     return _docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow")
 
 
+def q_simhash_pairs(sf_dir: str):
+    return dedup.simhash_candidate_pairs(_docs(sf_dir), max_hamming=8)
+
+
 def q_langid(sf_dir: str):
     return _docs(sf_dir).map_batches(
         text_stats.LangId, batch_format="pyarrow", concurrency=(1, 2)
@@ -531,6 +535,7 @@ QUERIES = {
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
+    "simhash_pairs": (q_simhash_pairs, None),
     "langid": (q_langid, None),
     "fingerprint": (q_fingerprint, None),
     "knn_ivf": (q_knn_ivf, None),

@@ -294,3 +294,77 @@ def ngram_jaccard_pairs(ds, *, k: int = 3, min_jaccard: float = 0.5,
         )
 
     return sets_tbl.map_batches(pairs, batch_format="pyarrow")
+
+
+def simhash_candidate_pairs(ds, id_col: str = "doc_id", n_rotations: int = 4,
+                            max_hamming: int = 3):
+    """SimHash near-dup candidates: bucket by 16-bit prefixes of several
+    bit-rotations of the 64-bit simhash (near-dups with <= ~3 differing
+    bits collide in at least one rotated prefix with high probability),
+    then verify hamming distance exactly within each bucket.
+
+    Shuffle moves only (rotation, prefix, id, simhash) rows. Returns
+    (id_a, id_b, hamming) distinct pairs with hamming <= max_hamming.
+    """
+    import pyarrow as pa
+
+    sigs = ds.map_batches(simhash_batch, fn_kwargs={"id_col": id_col},
+                          batch_format="pyarrow")
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        sims = batch.column("simhash").to_pylist()
+        rot_out, pref_out, id_out, sim_out = [], [], [], []
+        for r in range(n_rotations):
+            shift = r * (64 // n_rotations)
+            for i, s in zip(ids, sims):
+                u = s & 0xFFFFFFFFFFFFFFFF  # two's-complement view
+                rotated = ((u << shift) | (u >> (64 - shift))) & 0xFFFFFFFFFFFFFFFF
+                rot_out.append(r)
+                pref_out.append(rotated >> 48)
+                id_out.append(i)
+                sim_out.append(s)
+        return pa.table(
+            {
+                "rot": pa.array(rot_out, pa.int32()),
+                "prefix": pa.array(pref_out, pa.int64()),
+                id_col: pa.array(id_out, pa.int64()),
+                "simhash": pa.array(sim_out, pa.int64()),
+            }
+        )
+
+    buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        sims = group.column("simhash").to_pylist()
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        a_out, b_out, h_out = [], [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                if ids[i] == ids[j]:
+                    continue
+                h = bin((sims[i] ^ sims[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if h <= max_hamming:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    h_out.append(h)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+                "hamming": pa.array(h_out, pa.int64()),
+            }
+        )
+
+    pairs = buckets.groupby(["rot", "prefix"]).map_groups(
+        pairs_in_bucket, batch_format="pyarrow"
+    )
+    # distinct across rotations
+    agg = pairs.groupby(["id_a", "id_b"]).min("hamming")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["id_a", "id_b", "hamming"])
+
+    return agg.map_batches(rename, batch_format="pyarrow")

@@ -53,3 +53,39 @@ def test_actor_pool_pipeline(ray_session):
     # featurize path through the Dataset API too
     feats = mm.featurize_audio(media, batch_size=32).take(5)
     assert all(len(r["features"]) == 16 for r in feats)
+
+
+def test_ivf_recall_vs_bruteforce(ray_session):
+    """The approximate IVF path must find most of the true neighbors
+    (recall >= 0.5 with 4/16 buckets probed on random data)."""
+    import ray.data
+
+    from gocrd_ray.stages import similarity
+
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.brute_force_topk(emb, [0, 1, 2], k=10).take_all()
+    approx = similarity.ivf_topk(emb, [0, 1, 2], k=10, n_buckets=16, n_probe=4).take_all()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, recall
+
+
+def test_simhash_pairs_find_duplicates(ray_session):
+    """Exact duplicates must collide with hamming 0."""
+    import pyarrow as pa
+    import ray.data
+
+    from gocrd_ray.stages import dedup
+
+    texts = ["the quick brown fox jumps over the lazy dog"] * 2 + [
+        "completely different content about data pipelines and arrow",
+        "the quick brown fox jumps over the lazy cat",  # near-dup
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": texts})
+    )
+    pairs = dedup.simhash_candidate_pairs(ds, max_hamming=16).take_all()
+    by_pair = {(p["id_a"], p["id_b"]): p["hamming"] for p in pairs}
+    assert by_pair.get((0, 1)) == 0  # exact dup
+    assert (0, 3) in by_pair or (1, 3) in by_pair  # near-dup caught
