@@ -107,8 +107,14 @@ def run_headline(n_docs: int) -> dict:
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.perf_counter()
         # one block per input file: keeps read->extract->write fused in a
-        # single task (no SplitBlocks barrier / object-store hop)
-        ds = ray.data.read_parquet(pages_path, override_num_blocks=n_files)
+        # single task (no SplitBlocks barrier / object-store hop);
+        # column-pruned read: the generator's ground-truth `text` column
+        # never leaves storage (extraction recomputes it)
+        ds = ray.data.read_parquet(
+            pages_path,
+            override_num_blocks=n_files,
+            columns=["url", "warc_ts", "html", "lang"],
+        )
         extract_pages(ds, mode="text").write_parquet(out)
         wall = min(wall, time.perf_counter() - t0)
 

@@ -1,0 +1,135 @@
+"""PipelineStep registry — the engine's user-extension surface
+(SURVEY.md §2.11).
+
+The reference's extension surface is its public interface set
+(TextRegion interface + Match predicate objects, page/page.go:55-61,
+83-88); the engine's is this registry: a step is a named
+``(Dataset, **config) -> Dataset`` builder, and pipelines compose as
+ordered step lists. Users plug in their own stages with ``@step`` and
+compose them with the built-ins.
+
+    from gocrd_ray.pipelines.steps import step, compose
+
+    @step("my_filter")
+    def my_filter(ds, *, min_words=10):
+        return ds.map_batches(..., batch_format="pyarrow")
+
+    out = compose(pages_ds, ["extract_full", "words_flat",
+                             ("my_filter", {"min_words": 5})])
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+_REGISTRY: dict[str, Callable] = {}
+
+
+def step(name: str) -> Callable:
+    """Register a step builder under ``name`` (decorator)."""
+
+    def deco(fn: Callable) -> Callable:
+        if name in _REGISTRY:
+            raise ValueError(f"step {name!r} already registered")
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def get_step(name: str) -> Callable:
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown step {name!r}; registered: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[name]
+
+
+def registered_steps() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def compose(ds, steps: list) -> Any:
+    """Apply steps in order. Each element is a name or (name, config)."""
+    for s in steps:
+        name, cfg = s if isinstance(s, tuple) else (s, {})
+        ds = get_step(name)(ds, **cfg)
+    return ds
+
+
+# -- built-ins ---------------------------------------------------------------
+
+
+@step("extract_text")
+def _extract_text(ds, **cfg):
+    from .extract_pipeline import extract_pages
+
+    return extract_pages(ds, mode="text", **cfg)
+
+
+@step("extract_full")
+def _extract_full(ds, **cfg):
+    from .extract_pipeline import extract_pages
+
+    return extract_pages(ds, mode="full", **cfg)
+
+
+@step("regions_flat")
+def _regions_flat(ds, **cfg):
+    from ..stages import explode
+
+    return explode.regions_flat(ds, **cfg)
+
+
+@step("lines_flat")
+def _lines_flat(ds, **cfg):
+    from ..stages import explode
+
+    return explode.lines_flat(ds, **cfg)
+
+
+@step("words_flat")
+def _words_flat(ds, **cfg):
+    from ..stages import explode
+
+    return explode.words_flat(ds, **cfg)
+
+
+@step("dedup_url")
+def _dedup_url(ds, **cfg):
+    from ..stages import dedup
+
+    return dedup.dedup_by_url(ds, **cfg)
+
+
+@step("per_host_stats")
+def _per_host_stats(ds, **cfg):
+    from . import metrics
+
+    return metrics.per_host_stats(ds, **cfg)
+
+
+@step("langid")
+def _langid(ds, **cfg):
+    from ..stages.text_stats import LangId
+
+    return ds.map_batches(
+        LangId,
+        fn_constructor_kwargs=cfg,
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+
+
+@step("tumbling_window")
+def _tumbling_window(ds, **cfg):
+    from ..stages import window
+
+    return window.tumbling_window(ds, **cfg)
+
+
+@step("sessionize")
+def _sessionize(ds, **cfg):
+    from ..stages import window
+
+    return window.sessionize(ds, **cfg)

@@ -87,3 +87,31 @@ def test_lineage_records_carry_inputs(ray_session, shards, tmp_path):
     all_inputs = sorted(sum((r["input_shards"] for r in recs), []))
     assert all_inputs == sorted(shards)
     assert all(r["html_bytes"] > 0 and r["wall_sec"] > 0 for r in recs)
+
+
+def test_step_registry_compose(ray_session):
+    import pyarrow as pa
+
+    from gocrd_ray.pipelines import steps
+    from gocrd_ray.sources.pages import pages_from_documents
+
+    assert "extract_full" in steps.registered_steps()
+
+    @steps.step("only_big_regions")
+    def only_big(ds, *, min_lines=2):
+        return ds.map_batches(
+            lambda t, m=min_lines: t.filter(
+                pa.compute.greater_equal(t["n_lines"], m)
+            ),
+            batch_format="pyarrow",
+        )
+
+    out = steps.compose(
+        pages_from_documents("/root/testdata/sf0.001"),
+        ["extract_full", "regions_flat", ("only_big_regions", {"min_lines": 3})],
+    )
+    rows = out.take_all()
+    assert rows and all(r["n_lines"] >= 3 for r in rows)
+
+    with pytest.raises(KeyError):
+        steps.get_step("nope")
