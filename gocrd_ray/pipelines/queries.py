@@ -45,8 +45,19 @@ def _i64(t: pa.Table, cols: list[str]) -> pa.Table:
     return pa.table(dict(zip(t.column_names, arrays)))
 
 
+_FULL_CACHE: dict[str, object] = {}
+
+
 def _full(sf_dir: str):
-    return extract_pages(pages_from_documents(sf_dir), mode="full")
+    """Materialized full-extraction Dataset, memoized per sf_dir — several
+    queries project different views of the same extraction; extracting
+    once and fanning out the materialized blocks is the intended usage
+    pattern (and what a real deployment would do)."""
+    ds = _FULL_CACHE.get(sf_dir)
+    if ds is None:
+        ds = extract_pages(pages_from_documents(sf_dir), mode="full").materialize()
+        _FULL_CACHE[sf_dir] = ds
+    return ds
 
 
 def _docs(sf_dir: str):
@@ -206,6 +217,75 @@ SELECT {URL_SQL} AS url,
        10 + 60 * (i % 8) + 50 AS x1,
        20 + 50 * (i // 8) + 40 AS y1
 FROM u
+"""
+
+
+def q_doc_spans(sf_dir: str):
+    """Per-region span offsets into doc_text — the north-star span
+    output, SQL-checked end to end."""
+    ext = _full(sf_dir)
+
+    def explode_spans(b: pa.Table) -> pa.Table:
+        spans = b.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parents = pc.list_parent_indices(spans)
+        flat = pc.list_flatten(spans)
+        return pa.table(
+            {
+                "url": pc.take(b.column("url"), parents),
+                "region_id": pc.struct_field(flat, "region_id"),
+                "span_start": pc.cast(pc.struct_field(flat, "start"), pa.int64()),
+                "span_end": pc.cast(pc.struct_field(flat, "end"), pa.int64()),
+            }
+        )
+
+    return ext.map_batches(explode_spans, batch_format="pyarrow")
+
+
+SQL_DOC_SPANS = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS nw
+  FROM documents
+), r AS (
+  SELECT doc_id, nw, w, unnest(range((nw + 39) // 40)) AS k FROM d
+), rr AS (
+  SELECT doc_id, k,
+         length(array_to_string(w[(k*40+1):least((k+1)*40, nw)], ' ')) AS rlen
+  FROM r
+), s AS (
+  SELECT doc_id, k, rlen,
+         sum(rlen + 1) OVER (PARTITION BY doc_id ORDER BY k
+                             ROWS UNBOUNDED PRECEDING) - rlen - 1 AS span_start
+  FROM rr
+)
+SELECT {URL_SQL} AS url, 'r_' || k::VARCHAR AS region_id,
+       span_start, span_start + rlen AS span_end
+FROM s
+"""
+
+
+def q_region_word_counts(sf_dir: str):
+    """Grouped aggregate over the exploded words view."""
+    view = explode.words_flat(_full(sf_dir))
+    agg = view.groupby(["url", "region_id"]).count()
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["url", "region_id", "n_words"])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_REGION_WORD_COUNTS = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS nw FROM documents
+), r AS (
+  SELECT doc_id, nw, unnest(range((nw + 39) // 40)) AS k FROM d
+)
+SELECT {URL_SQL} AS url, 'r_' || k::VARCHAR AS region_id,
+       least((k + 1) * 40, nw) - k * 40 AS n_words
+FROM r
 """
 
 
@@ -517,6 +597,8 @@ QUERIES = {
     "regions_flat": (q_regions_flat, SQL_REGIONS_FLAT),
     "lines_flat": (q_lines_flat, SQL_LINES_FLAT),
     "words_flat": (q_words_flat, SQL_WORDS_FLAT),
+    "doc_spans": (q_doc_spans, SQL_DOC_SPANS),
+    "region_word_counts": (q_region_word_counts, SQL_REGION_WORD_COUNTS),
     "match_line": (q_match_line, SQL_MATCH_LINE),
     "match_word": (q_match_word, SQL_MATCH_WORD),
     "find_first_region": (q_find_first_region, SQL_FIND_FIRST_REGION),
