@@ -317,3 +317,60 @@ def gen_corpus_table(start: int, count: int, seed: int = 42) -> pa.Table:
         },
         schema=PAGES_SCHEMA,
     )
+
+
+# -- 3. general-HTML pages (boilerplate-strip testbed) ----------------------
+
+PARA_WORDS = 40
+MIN_PARA_CHARS = 40  # must equal BoilerplateStripper.min_content_chars
+
+
+def html_page_from_words(doc_id: int, words: list[str]) -> tuple[bytes, str]:
+    """Deterministic general-HTML page whose main content is the doc's
+    words in <p> paragraphs of PARA_WORDS, wrapped in boilerplate (nav,
+    link-soup div, footer, script). Ground truth is SQL-expressible:
+    main_text = paragraphs with length >= MIN_PARA_CHARS joined by \\n
+    (middle paragraphs are always long enough; only the last can drop).
+    """
+    paras = [
+        " ".join(words[i : i + PARA_WORDS])
+        for i in range(0, len(words), PARA_WORDS)
+    ]
+    body = "".join(f"<p>{escape(p)}</p>" for p in paras)
+    links = " ".join(
+        f'<a href="/cat/{doc_id}/{j}">category link number {j}</a>'
+        for j in range(6)
+    )
+    html = (
+        "<!DOCTYPE html><html><head><script>var t=1;</script>"
+        f"<title>doc {doc_id}</title></head><body>"
+        '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+        f'<div class="content">{body}</div>'
+        f'<div class="links">{links}</div>'
+        "<footer>&#169; example.com</footer></body></html>"
+    ).encode("utf-8")
+    expected = "\n".join(p for p in paras if len(p) >= MIN_PARA_CHARS)
+    return html, expected
+
+
+def html_pages_batch_from_documents(batch: pa.Table) -> pa.Table:
+    """map_batches body: documents batch → general-HTML pages batch."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    urls, tss, htmls, gts = [], [], [], []
+    for doc_id, text in zip(doc_ids, texts):
+        html, gt = html_page_from_words(doc_id, text.split(" "))
+        urls.append(url_for(doc_id))
+        tss.append(ts_for(doc_id))
+        htmls.append(html)
+        gts.append(gt)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(gts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )

@@ -18,7 +18,7 @@ import pyarrow.compute as pc
 from ..oracle import Match, MetsMatch
 from ..sources import manifest as mf
 from ..sources.pages import pages_from_documents
-from ..stages import dedup, explode, match, similarity, text_stats, window
+from ..stages import boilerplate, dedup, explode, match, similarity, text_stats, window
 from . import metrics
 from .extract_pipeline import extract_pages
 
@@ -217,6 +217,55 @@ SELECT {URL_SQL} AS url,
        10 + 60 * (i % 8) + 50 AS x1,
        20 + 50 * (i // 8) + 40 AS y1
 FROM u
+"""
+
+
+def q_html_main_text(sf_dir: str):
+    """General-HTML boilerplate strip (north_star M9): nav/footer/link-
+    soup removed by text-density + tag-path heuristics; ground truth is
+    by construction SQL-expressible (pagegen.html_page_from_words)."""
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pages = docs.map_batches(
+        __import__("gocrd_ray.pagegen", fromlist=["x"]).html_pages_batch_from_documents,
+        batch_format="pyarrow",
+    )
+    ext = boilerplate.strip_boilerplate(pages)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "main_text": b.column("main_text"),
+                "n_content_blocks": pc.cast(
+                    b.column("n_content_blocks"), pa.int64()
+                ),
+            }
+        )
+
+    return ext.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_HTML_MAIN_TEXT = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS nw
+  FROM documents
+), p AS (
+  SELECT doc_id, nw, w, unnest(range((nw + 39) // 40)) AS k FROM d
+), pp AS (
+  SELECT doc_id, k,
+         array_to_string(w[(k*40+1):least((k+1)*40, nw)], ' ') AS para
+  FROM p
+)
+SELECT {URL_SQL} AS url,
+       string_agg(para, chr(10) ORDER BY k) AS main_text,
+       count(*) AS n_content_blocks
+FROM pp WHERE length(para) >= 40
+GROUP BY doc_id
 """
 
 
@@ -594,6 +643,7 @@ WHERE len(string_split(text, ' ')) > 40
 
 QUERIES = {
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
+    "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
     "regions_flat": (q_regions_flat, SQL_REGIONS_FLAT),
     "lines_flat": (q_lines_flat, SQL_LINES_FLAT),
     "words_flat": (q_words_flat, SQL_WORDS_FLAT),

@@ -121,6 +121,13 @@ def _langid(ds, **cfg):
     )
 
 
+@step("strip_boilerplate")
+def _strip_boilerplate(ds, **cfg):
+    from ..stages import boilerplate
+
+    return boilerplate.strip_boilerplate(ds, **cfg)
+
+
 @step("tumbling_window")
 def _tumbling_window(ds, **cfg):
     from ..stages import window

@@ -1,0 +1,236 @@
+"""Main-content extraction from general HTML: boilerplate stripping via
+text-density + tag-path heuristics (north_star M9; no reference analog —
+gocrd stops at PAGE-XML, this is the CC-scale generalization).
+
+Algorithm (densitometric, in the spirit of the published Boilerpipe /
+CETD line of work — shallow-feature block classification):
+
+1. Tokenize with stdlib ``html.parser.HTMLParser`` (lenient, never
+   throws on real-world tag soup).
+2. Segment character data into BLOCKS at block-level tag boundaries
+   (p/div/h1../li/td/article/section/...); skip script/style/noscript
+   /template subtrees entirely.
+3. Per block compute shallow features: text length, link density
+   (chars emitted under <a> / total chars), stopword-ish token ratio,
+   tag path (e.g. ``body/div/p``).
+4. Classify: a block is CONTENT if it has enough text, low link
+   density, and does not sit under a nav/aside/footer/header/menu
+   path. Short blocks between two content blocks are absorbed
+   (the classic local-context smoothing rule).
+5. ``main_text`` = content blocks joined by "\\n" — same join rule as
+   the PAGE-XML doc_text contract, with (block_idx, start, end) spans.
+
+The stage is an actor-pool class: the tag sets / thresholds compile
+once per actor; ``__call__`` is pure per batch. Deterministic — same
+bytes, same output, no models.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pyarrow as pa
+
+BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li td th blockquote pre article section "
+    "main figure figcaption dd dt br tr ul ol table body "
+    "nav aside footer header form".split()  # block-level; flushing at their
+    # boundaries also makes tag_path carry them for classification
+)
+SKIP_SUBTREE = frozenset("script style noscript template svg head".split())
+BOILERPLATE_PATH = frozenset("nav aside footer header menu form button".split())
+
+BLOCK_SCHEMA = pa.struct(
+    [
+        ("block_idx", pa.int32()),
+        ("tag_path", pa.string()),
+        ("text", pa.string()),
+        ("n_chars", pa.int32()),
+        ("n_link_chars", pa.int32()),
+        ("is_content", pa.bool_()),
+    ]
+)
+
+HTML_EXTRACT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("main_text", pa.string()),
+        ("spans", pa.list_(pa.struct([
+            ("block_idx", pa.int32()),
+            ("start", pa.int64()),
+            ("end", pa.int64()),
+        ]))),
+        ("n_blocks", pa.int32()),
+        ("n_content_blocks", pa.int32()),
+        ("error", pa.string()),
+    ]
+)
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.stack: list[str] = []
+        self.skip_depth = 0
+        self.link_depth = 0
+        self.blocks: list[dict] = []
+        self._buf: list[str] = []
+        self._link_chars = 0
+        self._path_at_open = ""
+
+    def _flush(self):
+        text = "".join(self._buf)
+        stripped = " ".join(text.split())
+        if stripped:
+            self.blocks.append(
+                {
+                    "tag_path": self._path_at_open or "/".join(self.stack[-3:]),
+                    "text": stripped,
+                    "n_chars": len(stripped),
+                    "n_link_chars": min(self._link_chars, len(stripped)),
+                }
+            )
+        self._buf = []
+        self._link_chars = 0
+        self._path_at_open = "/".join(self.stack[-3:])
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag in SKIP_SUBTREE:
+            self.skip_depth += 1
+            return
+        if self.skip_depth:
+            return
+        if tag == "a":
+            self.link_depth += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+        self.stack.append(tag)
+        if tag in BLOCK_TAGS:
+            self._path_at_open = "/".join(self.stack[-3:])
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in SKIP_SUBTREE:
+            self.skip_depth = max(0, self.skip_depth - 1)
+            return
+        if self.skip_depth:
+            return
+        if tag == "a":
+            self.link_depth = max(0, self.link_depth - 1)
+        if tag in BLOCK_TAGS:
+            self._flush()
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i] == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data):
+        if self.skip_depth or not data:
+            return
+        self._buf.append(data)
+        if self.link_depth:
+            self._link_chars += len(" ".join(data.split()))
+
+
+class BoilerplateStripper:
+    """Actor-pool map_batches stage: (url, html) → HTML_EXTRACT_SCHEMA.
+
+    Thresholds compile once per actor; tune per corpus.
+    """
+
+    def __init__(
+        self,
+        min_content_chars: int = 40,
+        max_link_density: float = 0.33,
+        absorb_gap_chars: int = 15,
+    ):
+        self.min_content_chars = min_content_chars
+        self.max_link_density = max_link_density
+        self.absorb_gap_chars = absorb_gap_chars
+
+    def extract_doc(self, html: bytes) -> dict:
+        try:
+            text = html.decode("utf-8", errors="replace")
+            p = _BlockParser()
+            p.feed(text)
+            p.close()
+            p._flush()
+        except Exception as e:  # html.parser is lenient; belt-and-braces
+            return {
+                "main_text": None,
+                "spans": None,
+                "n_blocks": 0,
+                "n_content_blocks": 0,
+                "error": f"parse: {e}",
+            }
+        blocks = p.blocks
+        flags = []
+        for b in blocks:
+            path_tags = set(b["tag_path"].split("/"))
+            dense_enough = b["n_chars"] >= self.min_content_chars
+            link_ok = (
+                b["n_link_chars"] / b["n_chars"] <= self.max_link_density
+                if b["n_chars"]
+                else False
+            )
+            in_boiler = bool(path_tags & BOILERPLATE_PATH)
+            flags.append(dense_enough and link_ok and not in_boiler)
+        # local-context smoothing: short non-content between two content
+        # blocks is absorbed (captions, inline headers)
+        for i in range(1, len(blocks) - 1):
+            if (
+                not flags[i]
+                and flags[i - 1]
+                and flags[i + 1]
+                and blocks[i]["n_chars"] <= self.absorb_gap_chars * 4
+                and not (set(blocks[i]["tag_path"].split("/")) & BOILERPLATE_PATH)
+            ):
+                flags[i] = True
+        parts, spans = [], []
+        off = 0
+        for i, (b, f) in enumerate(zip(blocks, flags)):
+            if not f:
+                continue
+            if parts:
+                off += 1
+            spans.append({"block_idx": i, "start": off, "end": off + b["n_chars"]})
+            off += b["n_chars"]
+            parts.append(b["text"])
+        return {
+            "main_text": "\n".join(parts),
+            "spans": spans,
+            "n_blocks": len(blocks),
+            "n_content_blocks": len(parts),
+            "error": None,
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls = batch.column("html").to_pylist()
+        rows = [self.extract_doc(h or b"") for h in htmls]
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "main_text": pa.array([r["main_text"] for r in rows], pa.string()),
+                "spans": pa.array(
+                    [r["spans"] for r in rows],
+                    HTML_EXTRACT_SCHEMA.field("spans").type,
+                ),
+                "n_blocks": pa.array([r["n_blocks"] for r in rows], pa.int32()),
+                "n_content_blocks": pa.array(
+                    [r["n_content_blocks"] for r in rows], pa.int32()
+                ),
+                "error": pa.array([r["error"] for r in rows], pa.string()),
+            }
+        ).cast(HTML_EXTRACT_SCHEMA)
+
+
+def strip_boilerplate(pages_ds, *, concurrency=(1, 8), **thresholds):
+    """pages Dataset (url, html) → main-content Dataset."""
+    return pages_ds.map_batches(
+        BoilerplateStripper,
+        fn_constructor_kwargs=thresholds,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
