@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .. import pagegen
 from ..oracle import Match, MetsMatch
 from ..sources import manifest as mf
 from ..sources.pages import pages_from_documents
@@ -230,8 +231,7 @@ def q_html_main_text(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     pages = docs.map_batches(
-        __import__("gocrd_ray.pagegen", fromlist=["x"]).html_pages_batch_from_documents,
-        batch_format="pyarrow",
+        pagegen.html_pages_batch_from_documents, batch_format="pyarrow"
     )
     ext = boilerplate.strip_boilerplate(pages)
 

@@ -89,3 +89,20 @@ def test_simhash_pairs_find_duplicates(ray_session):
     by_pair = {(p["id_a"], p["id_b"]): p["hamming"] for p in pairs}
     assert by_pair.get((0, 1)) == 0  # exact dup
     assert (0, 3) in by_pair or (1, 3) in by_pair  # near-dup caught
+
+
+def test_pdf_layout_stub(ray_session):
+    import ray.data
+
+    from gocrd_ray.stages import pdf_layout
+    from gocrd_ray.sources.pages import pages_from_documents
+    from gocrd_ray.stages.multimodal import media_from_pages
+
+    media = media_from_pages(pages_from_documents("/root/testdata/sf0.001"))
+    out = pdf_layout.parse_pdfs(media, batch_size=64).take(10)
+    assert all(r["error"] is None and r["n_pages"] >= 1 for r in out)
+    # deterministic fake: same payload → same layout
+    again = pdf_layout.parse_pdfs(media, batch_size=64).take(10)
+    assert out == again
+    with pytest.raises(Exception):
+        pdf_layout.StrictPdfLayoutParser()._parse(b"x")
