@@ -141,6 +141,15 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
     }
     if mode == "full":
         out["regions"] = None
+    # entity-expansion guard: a hostile document can declare internal
+    # entities that expand exponentially ("billion laughs") and OOM the
+    # worker before ParseError capture can help. At CC scale every input
+    # is untrusted, so DOCTYPEs with entity declarations are rejected as
+    # poison rows up front. (Divergence from the reference, which would
+    # try to expand them; real PAGE-XML never declares entities.)
+    if b"<!ENTITY" in data[:4096]:
+        out["error"] = "rejected: internal entity declarations"
+        return out
     try:
         root = ET.fromstring(data)
     except ET.ParseError as e:

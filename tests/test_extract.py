@@ -109,3 +109,16 @@ def test_alt_texts_match_oracle():
                         assert ok and w["alt_texts"][pos - 1] == want
                         checked += 1
     assert checked > 50  # the corpus must actually exercise alternatives
+
+
+def test_entity_bomb_rejected_as_poison_row():
+    bomb = (
+        b'<?xml version="1.0"?><!DOCTYPE lolz [<!ENTITY a "ha">'
+        b'<!ENTITY b "&a;&a;&a;&a;&a;&a;&a;&a;&a;&a;">'
+        b'<!ENTITY c "&b;&b;&b;&b;&b;&b;&b;&b;&b;&b;">]>'
+        b"<PcGts><Page><TextRegion id=\"r\"><TextEquiv><Unicode>&c;</Unicode>"
+        b"</TextEquiv></TextRegion></Page></PcGts>"
+    )
+    got = extract.extract_doc(bomb)
+    assert got["error"] is not None and "entity" in got["error"]
+    assert got["text"] is None

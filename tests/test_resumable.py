@@ -115,3 +115,28 @@ def test_step_registry_compose(ray_session):
 
     with pytest.raises(KeyError):
         steps.get_step("nope")
+
+
+def test_salt_repartition_spreads_skewed_input(ray_session):
+    """A single shard holding every giant document must spread across
+    blocks after salt_repartition."""
+    import pyarrow as pa
+    import ray.data
+
+    from gocrd_ray.pipelines.extract_pipeline import extract_pages, salt_repartition
+
+    giant = pagegen.gen_doc(7)  # doc_id % 997 == 7 → giant row
+    small = [pagegen.gen_doc(i) for i in range(10, 26) if i % 211 != 5]
+    rows = [giant] * 8 + small
+    tbl = pa.table(
+        {
+            "url": pa.array([f"{r['url']}#{i}" for i, r in enumerate(rows)]),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)  # one fat block
+    spread = salt_repartition(ds, 8).materialize()
+    assert spread.num_blocks() == 8
+    out = extract_pages(spread, mode="text").take_all()
+    assert len(out) == len(rows)
+    assert sum(1 for r in out if r["error"] is None) == len(rows)
