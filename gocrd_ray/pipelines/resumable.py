@@ -109,6 +109,9 @@ def run_resumable(
             "html_bytes": stats["html_bytes"],
             "wall_sec": round(wall, 3),
             "mode": mode,
+            # first lines of Ray Data's execution stats — per-unit
+            # observability without a metrics service
+            "ray_stats_head": ext.stats().splitlines()[:6],
         }
         tmp = _lineage_path(out_dir, unit_id) + ".tmp"
         with open(tmp, "w") as f:

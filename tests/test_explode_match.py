@@ -128,3 +128,28 @@ def test_words_flat_golden(kant_views):
     assert row["text"] == "("
     assert (row["x0"], row["y0"], row["x1"], row["y1"]) == (847, 295, 862, 335)
     assert row["region_id"] == "r_1_1" and row["line_id"] == "tl_1"
+
+
+def test_find_first_dataset_word_level(ray_session):
+    """Corpus-wide Page.Find at word level through the Dataset API."""
+    import ray.data
+
+    from gocrd_ray import extract as ex
+    from gocrd_ray.sources.pages import synthetic_pages
+
+    full = synthetic_pages(60).map_batches(
+        lambda b: ex.extract_batch(b, mode="full"), batch_format="pyarrow"
+    )
+    got = {r["url"]: r for r in match.find_first(
+        full, oracle.Match(word_id="w_1_0_1")).take_all()}
+    for i in range(60):
+        d = pagegen.gen_doc(i)
+        if d["text"] is None:
+            assert d["url"] not in got
+            continue
+        node, want = oracle.Page.from_bytes(d["html"]).find(
+            oracle.Match(word_id="w_1_0_1")
+        )
+        assert (d["url"] in got) == want, d["url"]
+        if want:
+            assert got[d["url"]]["text"] == node.text_equiv_unicode_at(0)[0]
