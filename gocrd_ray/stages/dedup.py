@@ -50,6 +50,27 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def add_hash_bucket(ds, col: str = "text", n_buckets: int = 256,
+                    out_col: str = "bucket"):
+    """Append a uniform hash-bucket column (crc32 of ``col`` mod N) —
+    the partition key for bucketed corpus layouts (docs/SCALE.md §3):
+    written into the resumable output so corpus-wide dedup factors into
+    independent bucket-local groupbys."""
+    import pyarrow as pa
+    import zlib as _z
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        vals = b.column(col).to_pylist()
+        bk = [
+            _z.crc32(v if isinstance(v, bytes) else (v or "").encode("utf-8"))
+            % n_buckets
+            for v in vals
+        ]
+        return b.append_column(out_col, pa.array(bk, pa.int32()))
+
+    return ds.map_batches(bucketize, batch_format="pyarrow")
+
+
 def dedup_by_url(pages_ds):
     """Exact per-url dedup for the pages corpus (SURVEY.md §2.7): one
     row per url, first-in-group wins — the hash shuffle on `url` is the

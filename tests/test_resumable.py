@@ -140,3 +140,19 @@ def test_salt_repartition_spreads_skewed_input(ray_session):
     out = extract_pages(spread, mode="text").take_all()
     assert len(out) == len(rows)
     assert sum(1 for r in out if r["error"] is None) == len(rows)
+
+
+def test_hash_bucket_uniformity(ray_session):
+    import ray.data
+
+    from gocrd_ray.stages import dedup
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.01/documents.parquet")
+    bucketed = dedup.add_hash_bucket(docs, col="text", n_buckets=16)
+    counts = {}
+    for r in bucketed.groupby("bucket").count().take_all():
+        counts[r["bucket"]] = r["count()"]
+    assert len(counts) == 16
+    # uniform-ish: no bucket takes more than 3x the mean
+    mean = sum(counts.values()) / 16
+    assert max(counts.values()) < 3 * mean
