@@ -513,6 +513,22 @@ FROM documents
 """
 
 
+def q_regex_tokens(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        text_stats.RegexTokenizer,
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+
+
+SQL_REGEX_TOKENS = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text),
+           '{text_stats.BPE_ISH_PATTERN}')) AS n_regex_tokens
+FROM documents
+"""
+
+
 def q_quality(sf_dir: str):
     return _docs(sf_dir).map_batches(
         text_stats.quality_batch, batch_format="pyarrow"
@@ -661,6 +677,7 @@ QUERIES = {
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_score": (q_quality, SQL_QUALITY),
+    "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),

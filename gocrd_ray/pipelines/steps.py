@@ -135,6 +135,32 @@ def _tumbling_window(ds, **cfg):
     return window.tumbling_window(ds, **cfg)
 
 
+@step("quality_filter")
+def _quality_filter(ds, *, min_tokens=5, max_stopword_ratio=0.9):
+    """Keep documents passing basic quality gates (tokens + stopword
+    ratio) — the standard pre-training corpus filter shape."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.text_stats import quality_batch
+
+    def f(b: pa.Table) -> pa.Table:
+        q = quality_batch(b)
+        keep = pc.and_(
+            pc.greater_equal(q.column("n_tokens"), min_tokens),
+            pc.less_equal(q.column("stopword_ratio"), max_stopword_ratio),
+        )
+        return b.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@step("sample")
+def _sample(ds, *, fraction=0.01, seed=42):
+    """Seeded QA sampling (SURVEY §2.5 O3)."""
+    return ds.random_sample(fraction, seed=seed)
+
+
 @step("sessionize")
 def _sessionize(ds, **cfg):
     from ..stages import window

@@ -74,6 +74,35 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# BPE-ish tokenization: letter runs, digit runs, single non-alnum marks —
+# the shape of a byte-pair pretokenizer's coarse split. Pattern must stay
+# RE2-compatible and byte-identical between Python re and DuckDB
+# regexp_extract_all (SQL mirror in __ray_entry__).
+BPE_ISH_PATTERN = r"[a-zà-þß-ÿ]+|[0-9]+|[^a-zà-þß-ÿ0-9 ]"
+
+
+class RegexTokenizer:
+    """Actor-pool token-count stage: pattern compiles once per actor."""
+
+    def __init__(self, pattern: str = BPE_ISH_PATTERN, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import re
+
+        self.rx = re.compile(pattern)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(batch.column(self.text_col)).to_pylist()
+        counts = [len(self.rx.findall(t or "")) for t in texts]
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "n_regex_tokens": pa.array(counts, pa.int64()),
+            }
+        )
+
+
 # -- language ID -------------------------------------------------------------
 
 # tiny deterministic unigram profiles; a real system would ship n-gram
