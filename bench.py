@@ -34,6 +34,7 @@ BENCH_DIR = "/tmp/gocrd_bench"
 
 QUERY_NAMES = [
     "extract_text",
+    "html_main_text",
     "words_flat",
     "per_host_stats",
     "dedup_exact",
@@ -41,6 +42,7 @@ QUERY_NAMES = [
     "quality_score",
     "knn_cosine",
     "events_window",
+    "sessionize",
 ]
 
 
