@@ -384,6 +384,41 @@ WHERE len(string_split(text, ' ')) >= 43
 """
 
 
+def q_corpus_stats(sf_dir: str):
+    """One-row corpus rollup via per-batch partial aggregation."""
+    ext = extract_pages(pages_from_documents(sf_dir), mode="text")
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_docs": pa.array([len(b)], pa.int64()),
+                "total_regions": pa.array(
+                    [pc.sum(b.column("n_regions")).as_py() or 0], pa.int64()
+                ),
+                "total_lines": pa.array(
+                    [pc.sum(b.column("n_lines")).as_py() or 0], pa.int64()
+                ),
+                "total_words": pa.array(
+                    [pc.sum(b.column("n_words")).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    parts = ext.map_batches(partial, batch_format="pyarrow")
+    cols = ["n_docs", "total_regions", "total_lines", "total_words"]
+    agg = parts.sum(cols)  # global scalar aggregate
+    return pa.table({c: pa.array([agg[f"sum({c})"]], pa.int64()) for c in cols})
+
+
+SQL_CORPUS_STATS = """
+SELECT count(*) AS n_docs,
+       sum((len(string_split(text, ' ')) + 39) // 40) AS total_regions,
+       sum((len(string_split(text, ' ')) + 7) // 8) AS total_lines,
+       sum(len(string_split(text, ' '))) AS total_words
+FROM documents
+"""
+
+
 def q_per_host_stats(sf_dir: str):
     ext = extract_pages(pages_from_documents(sf_dir), mode="text")
     return metrics.per_host_stats(ext)
@@ -669,6 +704,7 @@ QUERIES = {
     "match_word": (q_match_word, SQL_MATCH_WORD),
     "find_first_region": (q_find_first_region, SQL_FIND_FIRST_REGION),
     "per_host_stats": (q_per_host_stats, SQL_PER_HOST_STATS),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "top_hosts": (q_top_hosts, SQL_TOP_HOSTS),
     "manifest_find": (q_manifest_find, SQL_MANIFEST_FIND),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

@@ -93,3 +93,18 @@ def test_cli_extract(ray_session, tmp_path):
     assert rc == 0
     got = pq.ParquetDataset(str(tmp_path / "o")).read(columns=["url", "text"])
     assert got.num_rows == 40
+
+
+def test_actor_pool_extraction_matches_task_path(ray_session):
+    """extract_pages(use_actors=True) must produce identical rows to the
+    stateless-task path."""
+    from gocrd_ray.pipelines.extract_pipeline import extract_pages
+    from gocrd_ray.sources.pages import synthetic_pages
+
+    a = extract_pages(synthetic_pages(300), mode="text").take_all()
+    b = extract_pages(
+        synthetic_pages(300), mode="text", use_actors=True, batch_size=64,
+        concurrency=(1, 2)
+    ).take_all()
+    key = lambda r: r["url"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
