@@ -56,23 +56,25 @@ def _atoi(s: str) -> int:
     return int(s, 10)
 
 
+# whole-attribute validation in one C regex: >=2 "x,y" int pairs joined
+# by single spaces, Go-strconv-Atoi integer syntax ([+-]?ascii digits) —
+# exactly the acceptance set of the token-at-a-time reference parser
+# (page/page.go:324-351). After a match, int() per token is safe and fast
+# (coordinate parsing was 40% of full-mode kernel time token-by-token).
+import re as _re
+
+_POINTS_RE = _re.compile(r"[+-]?[0-9]+,[+-]?[0-9]+( [+-]?[0-9]+,[+-]?[0-9]+)+\Z")
+
+
 def _parse_points(s: Optional[str]) -> Optional[list[dict]]:
     """Coords/@points → [{'x','y'}...] or None on any malformation
     (reference error semantics, page/page.go:324-351)."""
-    if s is None:
-        return None
-    parts = s.split(" ")
-    if len(parts) < 2:
+    if s is None or _POINTS_RE.match(s) is None:
         return None
     pts = []
-    try:
-        for p in parts:
-            x, _, y = p.partition(",")
-            if not y or "," in y:
-                return None
-            pts.append({"x": _atoi(x), "y": _atoi(y)})
-    except ValueError:
-        return None
+    for p in s.split(" "):
+        x, _, y = p.partition(",")
+        pts.append({"x": int(x), "y": int(y)})
     return pts
 
 
@@ -81,6 +83,20 @@ def _bbox(pts: Optional[list[dict]]) -> Optional[dict]:
         return None
     xs = [p["x"] for p in pts]
     ys = [p["y"] for p in pts]
+    return {"x0": min(xs), "y0": min(ys), "x1": max(xs), "y1": max(ys)}
+
+
+def _bbox_of_str(s: Optional[str]) -> Optional[dict]:
+    """points string → bbox dict directly, skipping point-dict
+    construction (the dominant full-mode cost: ~500 dicts/doc)."""
+    if s is None or _POINTS_RE.match(s) is None:
+        return None
+    xs: list[int] = []
+    ys: list[int] = []
+    for p in s.split(" "):
+        x, _, y = p.partition(",")
+        xs.append(int(x))
+        ys.append(int(y))
     return {"x0": min(xs), "y0": min(ys), "x1": max(xs), "y1": max(ys)}
 
 
@@ -125,8 +141,21 @@ def _coords_of(elem: ET.Element, name: str = "Coords") -> Optional[list[dict]]:
     return None
 
 
+def _coords_str_of(elem: ET.Element, name: str = "Coords") -> Optional[str]:
+    for c in elem:
+        if _LOCAL[c.tag] == name:
+            return _attr(c, "points")
+    return None
+
+
 def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
-    """Extract one document. mode: "text" (lean) or "full" (+hierarchy).
+    """Extract one document.
+
+    mode: "text" (lean — doc text/spans/counts only), "full" (+nested
+    hierarchy with bboxes; polygon point lists omitted — 2x faster),
+    or "geom" (full + polygon point lists, the complete Polygon()
+    surface). Validity semantics are identical in full and geom: a bbox
+    is null exactly when the reference's polygon parse would error.
 
     Returns a dict of the EXTRACT_*_SCHEMA fields (minus the passthrough
     url/warc_ts/lang/html_bytes, which the batch wrapper adds).
@@ -139,7 +168,7 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
         "n_words": 0,
         "error": None,
     }
-    if mode == "full":
+    if mode in ("full", "geom"):
         out["regions"] = None
     # entity-expansion guard: a hostile document can declare internal
     # entities that expand exponentially ("billion laughs") and OOM the
@@ -220,7 +249,8 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
     n_lines = 0
     n_words = 0
     off = 0
-    full = mode == "full"
+    full = mode in ("full", "geom")
+    geom = mode == "geom"
 
     def region_body(elem: ET.Element) -> tuple[Optional[str], int, list, int, int]:
         """Parse one TextRegion element's text + lines/words subtree.
@@ -243,30 +273,30 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
                 lw += 1
                 if full:
                     wtext, _ = _first_text_equiv(wc)
-                    w_coords = _coords_of(wc)
+                    w_pts = _coords_str_of(wc)
                     w_all = _all_text_equivs(wc)
                     words_out.append(
                         {
                             "word_id": _attr(wc, "id") or "",
                             "text": wtext,
                             "alt_texts": w_all[1:] if len(w_all) > 1 else [],
-                            "coords": w_coords,
-                            "bbox": _bbox(w_coords),
+                            "coords": _parse_points(w_pts) if geom else None,
+                            "bbox": _bbox_of_str(w_pts),
                         }
                     )
             rw += lw
             if full:
                 ltext, _ = _first_text_equiv(lc)
-                l_coords = _coords_of(lc)
+                l_pts = _coords_str_of(lc)
                 l_all = _all_text_equivs(lc)
                 lines_out.append(
                     {
                         "line_id": _attr(lc, "id") or "",
                         "text": ltext,
                         "alt_texts": l_all[1:] if len(l_all) > 1 else [],
-                        "coords": l_coords,
-                        "bbox": _bbox(l_coords),
-                        "baseline": _coords_of(lc, "Baseline"),
+                        "coords": _parse_points(l_pts) if geom else None,
+                        "bbox": _bbox_of_str(l_pts),
+                        "baseline": _coords_of(lc, "Baseline") if geom else None,
                         "words": words_out,
                     }
                 )
@@ -287,7 +317,7 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
             n_lines += rl
             n_words += rw
             if full:
-                r_coords = _coords_of(elem)
+                r_coords = _coords_str_of(elem)
         t = rtext if rtext is not None else ""
         if seq > 0:
             off += 1  # "\n" separator
@@ -309,8 +339,8 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
                         _all_text_equivs(hit[1])[1:] if hit is not None and n_te > 1 else []
                     ),
                     "n_alt_texts": max(0, n_te - 1),
-                    "coords": r_coords,
-                    "bbox": _bbox(r_coords),
+                    "coords": _parse_points(r_coords) if geom else None,
+                    "bbox": _bbox_of_str(r_coords),
                     "missing_element": hit is None,
                     "lines": lines_out,
                 }
@@ -352,7 +382,7 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
             if id(elem) in used_elems:
                 continue
             rtext, n_te, lines_out, _, _ = region_body(elem)
-            r_coords = _coords_of(elem)
+            r_coords = _coords_str_of(elem)
             regions_out.append(
                 {
                     "region_id": _attr(elem, "id") or "",
@@ -365,8 +395,8 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
                     "text": rtext,
                     "alt_texts": _all_text_equivs(elem)[1:] if n_te > 1 else [],
                     "n_alt_texts": max(0, n_te - 1),
-                    "coords": r_coords,
-                    "bbox": _bbox(r_coords),
+                    "coords": _parse_points(r_coords) if geom else None,
+                    "bbox": _bbox_of_str(r_coords),
                     "missing_element": False,
                     "lines": lines_out,
                 }
@@ -388,7 +418,7 @@ def extract_batch(batch: pa.Table, mode: str = "text") -> pa.Table:
     Input columns used: url, html (and warc_ts / lang passed through
     when present). Output schema: EXTRACT_TEXT_SCHEMA / EXTRACT_FULL_SCHEMA.
     """
-    schema = EXTRACT_FULL_SCHEMA if mode == "full" else EXTRACT_TEXT_SCHEMA
+    schema = EXTRACT_FULL_SCHEMA if mode in ("full", "geom") else EXTRACT_TEXT_SCHEMA
     htmls = batch.column("html").to_pylist()
     n = len(htmls)
     rows = [extract_doc(h, mode) if h is not None else {"error": "null html"} for h in htmls]
@@ -417,7 +447,7 @@ def extract_batch(batch: pa.Table, mode: str = "text") -> pa.Table:
     arrays["lang"] = (
         batch.column("lang") if "lang" in names else pa.nulls(n, pa.string())
     )
-    if mode == "full":
+    if mode in ("full", "geom"):
         arrays["regions"] = pa.array(
             col("regions"), type=schema.field("regions").type
         )

@@ -122,3 +122,26 @@ def test_entity_bomb_rejected_as_poison_row():
     got = extract.extract_doc(bomb)
     assert got["error"] is not None and "entity" in got["error"]
     assert got["text"] is None
+
+
+def test_geom_mode_preserves_polygons():
+    """geom mode = full mode + polygon point lists; validity identical."""
+    for i in range(40):
+        d = pagegen.gen_doc(i)
+        if d["text"] is None:
+            continue
+        full = extract.extract_doc(d["html"], mode="full")
+        geom = extract.extract_doc(d["html"], mode="geom")
+        assert full["text"] == geom["text"]
+        for rf, rg in zip(full["regions"], geom["regions"]):
+            assert rf["bbox"] == rg["bbox"]
+            assert rf["coords"] is None
+            if rg["bbox"] is not None:
+                assert rg["coords"] is not None
+                assert extract._bbox(rg["coords"]) == rg["bbox"]
+            for lf, lg in zip(rf["lines"], rg["lines"]):
+                assert lf["bbox"] == lg["bbox"]
+                for wf, wg in zip(lf["words"], lg["words"]):
+                    assert wf["bbox"] == wg["bbox"]
+                    if wg["coords"] is not None:
+                        assert extract._bbox(wg["coords"]) == wg["bbox"]
