@@ -501,6 +501,39 @@ SELECT {URL_SQL} AS url, lang FROM documents
 """
 
 
+def q_dedup_url_latest(sf_dir: str):
+    """Per-url keep-latest-crawl: the corpus unioned with a one-day-later
+    re-crawl of every url must dedup to the re-crawl timestamps."""
+    import datetime
+
+    pages = pages_from_documents(sf_dir)
+
+    def bump(b: pa.Table) -> pa.Table:
+        ts = pc.add(
+            b.column("warc_ts"),
+            pa.scalar(datetime.timedelta(days=1), pa.duration("us")),
+        )
+        return b.set_column(b.schema.get_field_index("warc_ts"), "warc_ts", ts)
+
+    recrawl = pages_from_documents(sf_dir).map_batches(
+        bump, batch_format="pyarrow"
+    )
+    deduped = dedup.dedup_by_url(pages.union(recrawl), policy="latest")
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(["url", "warc_ts"])
+
+    return deduped.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_DEDUP_URL_LATEST = f"""
+SELECT {URL_SQL} AS url,
+       TIMESTAMP '2026-01-01' + to_microseconds(doc_id * 1000000)
+         + INTERVAL 1 DAY AS warc_ts
+FROM documents
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_docs(sf_dir))
 
@@ -709,6 +742,7 @@ QUERIES = {
     "manifest_find": (q_manifest_find, SQL_MANIFEST_FIND),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_url": (q_dedup_url, SQL_DEDUP_URL),
+    "dedup_url_latest": (q_dedup_url_latest, SQL_DEDUP_URL_LATEST),
     "lang_counts": (q_lang_counts, SQL_LANG_COUNTS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

@@ -71,16 +71,29 @@ def add_hash_bucket(ds, col: str = "text", n_buckets: int = 256,
     return ds.map_batches(bucketize, batch_format="pyarrow")
 
 
-def dedup_by_url(pages_ds):
+def dedup_by_url(pages_ds, policy: str = "first", ts_col: str = "warc_ts"):
     """Exact per-url dedup for the pages corpus (SURVEY.md §2.7): one
-    row per url, first-in-group wins — the hash shuffle on `url` is the
-    engine's ONE required shuffle for the per-url invariant."""
+    row per url — the hash shuffle on `url` is the engine's ONE required
+    shuffle for the per-url invariant.
+
+    policy: "first" (arbitrary-but-deterministic first in group) or
+    "latest" (max ts_col — the CC re-crawl semantics: keep the newest
+    capture of each url; ties broken by the later row being kept).
+    """
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     def first(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
 
-    return pages_ds.groupby("url").map_groups(first, batch_format="pyarrow")
+    def latest(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[(ts_col, "descending")]
+        )
+        return group.take(idx[:1])
+
+    fn = {"first": first, "latest": latest}[policy]
+    return pages_ds.groupby("url").map_groups(fn, batch_format="pyarrow")
 
 
 # -- shingles / MinHash ------------------------------------------------------
