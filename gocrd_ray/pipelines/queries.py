@@ -19,7 +19,7 @@ from .. import pagegen
 from ..oracle import Match, MetsMatch
 from ..sources import manifest as mf
 from ..sources.pages import pages_from_documents
-from ..stages import boilerplate, dedup, explode, match, similarity, text_stats, window
+from ..stages import boilerplate, dedup, explode, join, match, similarity, text_stats, window
 from . import metrics
 from .extract_pipeline import extract_pages
 
@@ -568,6 +568,111 @@ WHERE len(list_intersect(a.sh, b.sh)) > 0
 """
 
 
+def q_orders_enriched(sf_dir: str):
+    """Broadcast join: big orders side, small customer dimension."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).rename_columns(["o_custkey", "c_name", "c_mktsegment"])
+    out = join.broadcast_join(orders, cust, keys=["o_custkey"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(["o_orderkey", "o_custkey", "c_name", "c_mktsegment"])
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_ORDERS_ENRICHED = """
+SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_orders_hash_join(sf_dir: str):
+    """Same join through the both-sides-large partitioned hash join —
+    one bucket-keyed shuffle, per-bucket Arrow hash join."""
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    out = join.partitioned_hash_join(
+        orders, cust, left_key="o_custkey", right_key="c_custkey", n_buckets=16
+    )
+    return out
+
+
+SQL_ORDERS_HASH_JOIN = """
+SELECT o_orderkey, o_custkey, c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_events_asof(sf_dir: str):
+    """As-of join: each purchase matched to the user's most recent
+    signup at-or-before it."""
+    import ray.data
+
+    def typed(t):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("event_type"), t)).select(
+                ["event_id", "ts", "user_id"]
+            )
+        return f
+
+    ev = lambda: ray.data.read_parquet(  # noqa: E731
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    purchases = ev().map_batches(typed("purchase"), batch_format="pyarrow")
+    signups = ev().map_batches(typed("signup"), batch_format="pyarrow")
+    return join.asof_join_latest(
+        purchases, signups, on="ts", by="user_id", right_cols=["event_id"]
+    )
+
+
+SQL_EVENTS_ASOF = """
+SELECT p.event_id, p.ts, p.user_id,
+       (SELECT s.event_id FROM events s
+        WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+          AND s.ts <= p.ts
+        ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS event_id_asof
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Connected components over the exact-Jaccard duplicate pairs."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(sf_dir))
+    return dedup.connected_components(pairs)
+
+
+SQL_DEDUP_CLUSTERS = (
+    """
+WITH RECURSIVE p AS ("""
+    + SQL_NGRAM_JACCARD.strip().rstrip()
+    + """
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION SELECT id_b, id_a FROM p
+), cc(node, lbl) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, c.lbl FROM sym s JOIN cc c ON c.node = s.b
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY node
+"""
+)
+
+
 def q_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(
         text_stats.token_stats_batch, batch_format="pyarrow"
@@ -745,6 +850,10 @@ QUERIES = {
     "dedup_url_latest": (q_dedup_url_latest, SQL_DEDUP_URL_LATEST),
     "lang_counts": (q_lang_counts, SQL_LANG_COUNTS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "orders_enriched": (q_orders_enriched, SQL_ORDERS_ENRICHED),
+    "orders_hash_join": (q_orders_hash_join, SQL_ORDERS_HASH_JOIN),
+    "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_score": (q_quality, SQL_QUALITY),
     "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),

@@ -402,3 +402,73 @@ def simhash_candidate_pairs(ds, id_col: str = "doc_id", n_rotations: int = 4,
         return b.rename_columns(["id_a", "id_b", "hamming"])
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def connected_components(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
+                         max_iters: int = 25):
+    """Cluster candidate/duplicate pairs into connected components:
+    (doc_id, cluster_id) with cluster_id = min doc id in the component.
+
+    Distributed min-label propagation: symmetric edge list → per-node
+    min-neighbor-label via groupby, iterated to fixpoint. The label
+    table (one row per node APPEARING IN PAIRS — tiny relative to the
+    corpus even at 10^12 docs, because pair nodes are the near-dup
+    subset) is broadcast per iteration; edges stay distributed. If the
+    label table itself outgrew memory, the same loop runs with the
+    broadcast replaced by the bucketed hash join (stages/join.py).
+    """
+    import ray
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def sym(b: pa.Table) -> pa.Table:
+        a, bb = b.column(id_a), b.column(id_b)
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a.combine_chunks(), bb.combine_chunks()]),
+                "nbr": pa.concat_arrays([bb.combine_chunks(), a.combine_chunks()]),
+            }
+        )
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+
+    # initial labels: min(node, min neighbor)
+    lab = edges.groupby("node").min("nbr")
+    labels = {
+        r["node"]: min(r["node"], r["min(nbr)"]) for r in lab.take_all()
+    }
+
+    for _ in range(max_iters):
+        ref = ray.put(labels)
+
+        def relabel(b: pa.Table) -> pa.Table:
+            lut = ray.get(ref)
+            nbr_lab = [lut[v] for v in b.column("nbr").to_pylist()]
+            return pa.table(
+                {"node": b.column("node"), "nbr_label": pa.array(nbr_lab, pa.int64())}
+            )
+
+        cand = (
+            edges.map_batches(relabel, batch_format="pyarrow")
+            .groupby("node")
+            .min("nbr_label")
+            .take_all()
+        )
+        changed = 0
+        for r in cand:
+            n, c = r["node"], r["min(nbr_label)"]
+            if c < labels[n]:
+                labels[n] = c
+                changed += 1
+        if changed == 0:
+            break
+
+    out = pa.table(
+        {
+            "doc_id": pa.array(sorted(labels), pa.int64()),
+            "cluster_id": pa.array(
+                [labels[k] for k in sorted(labels)], pa.int64()
+            ),
+        }
+    )
+    return out
