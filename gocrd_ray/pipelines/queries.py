@@ -568,6 +568,77 @@ WHERE len(list_intersect(a.sh, b.sh)) > 0
 """
 
 
+def q_filtered_read(sf_dir: str):
+    """Predicate + column pushdown at the Parquet read (prune at the
+    read: only two columns and matching row groups leave storage)."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(["l_orderkey", "l_linenumber"])
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_FILTERED_READ = """
+SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
+def q_pipeline_e2e(sf_dir: str):
+    """The composed training-data pipeline: extract → quality filter →
+    exact dedup (keep min url per text) → per-host counts. One SQL
+    mirror checks the whole chain end to end."""
+    ext = extract_pages(pages_from_documents(sf_dir), mode="text")
+
+    def keep_quality(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("n_words"), 20))
+        return b.select(["url", "text"])
+
+    filtered = ext.map_batches(keep_quality, batch_format="pyarrow")
+    hashed = filtered.map_batches(
+        lambda b: dedup.add_text_hash(b).select(["text_hash", "url"]),
+        batch_format="pyarrow",
+    )
+    survivors = hashed.groupby("text_hash").min("url")
+
+    def to_host(b: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(b.column("min(url)"), r"//(?P<host>[^/]+)/"), "host"
+        )
+        t = pa.table({"host": host, "one": pa.nulls(len(b), pa.int64())})
+        part = pa.TableGroupBy(t, "host").aggregate([("host", "count")])
+        name_map = {"host": "host", "host_count": "n_docs"}
+        return part.rename_columns([name_map[c] for c in part.column_names])
+
+    partials = survivors.map_batches(to_host, batch_format="pyarrow")
+    agg = partials.groupby("host").sum("n_docs")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["host", "n_docs"])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_PIPELINE_E2E = f"""
+WITH p AS (
+  SELECT {URL_SQL} AS url, text
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 20
+), d AS (
+  SELECT md5(text) AS h, min(url) AS url FROM p GROUP BY md5(text)
+)
+SELECT regexp_extract(url, '//([^/]+)/', 1) AS host, count(*) AS n_docs
+FROM d GROUP BY host
+"""
+
+
 def q_orders_enriched(sf_dir: str):
     """Broadcast join: big orders side, small customer dimension."""
     import pyarrow.parquet as pq
@@ -779,6 +850,15 @@ GROUP BY 1, 2
 # -- rows-only queries (no faithful ANSI-SQL form) ---------------------------
 
 
+def q_distinct_tokens(sf_dir: str):
+    """HLL sketch estimate of distinct tokens (rows-only: approximate
+    by design; accuracy pinned vs exact in tests/test_sketch.py)."""
+    from ..stages.sketch import distinct_tokens
+
+    est = distinct_tokens(_docs(sf_dir))
+    return pa.table({"approx_distinct_tokens": pa.array([int(round(est))], pa.int64())})
+
+
 def q_dedup_minhash(sf_dir: str):
     return dedup.lsh_candidate_pairs(_docs(sf_dir))
 
@@ -843,6 +923,8 @@ QUERIES = {
     "find_first_region": (q_find_first_region, SQL_FIND_FIRST_REGION),
     "per_host_stats": (q_per_host_stats, SQL_PER_HOST_STATS),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "filtered_read": (q_filtered_read, SQL_FILTERED_READ),
+    "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
     "top_hosts": (q_top_hosts, SQL_TOP_HOSTS),
     "manifest_find": (q_manifest_find, SQL_MANIFEST_FIND),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
@@ -862,6 +944,7 @@ QUERIES = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
+    "distinct_tokens_sketch": (q_distinct_tokens, None),
     "dedup_simhash": (q_dedup_simhash, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "langid": (q_langid, None),

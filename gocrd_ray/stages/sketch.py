@@ -1,0 +1,109 @@
+"""Mergeable sketches: distributed approximate distinct counting.
+
+Pattern (the scalable aggregate shape): each batch computes ONE
+constant-size sketch (a HyperLogLog register array), the tiny partials
+are merged associatively — registers max-combine — and the estimate is
+read off the merged sketch. Nothing row-shaped ever shuffles.
+
+Standard public HyperLogLog (Flajolet et al. 2007) with the usual
+small-range linear-counting correction; hashes are md5-derived 64-bit —
+fully deterministic, no seeds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+        if p == 12:
+            self.alpha = 0.7213 / (1 + 1.079 / self.m)
+        else:
+            self.alpha = 0.7213 / (1 + 1.079 / self.m)
+
+    @staticmethod
+    def _hash64(values: list[str]) -> np.ndarray:
+        return np.array(
+            [
+                int.from_bytes(hashlib.md5(v.encode("utf-8")).digest()[:8], "big")
+                for v in values
+            ],
+            dtype=np.uint64,
+        )
+
+    def add(self, values: list[str]) -> "HyperLogLog":
+        if not values:
+            return self
+        h = self._hash64(values)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of the remaining 64-p bits, + 1
+        lz = np.zeros(len(h), dtype=np.uint8)
+        x = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = x < (np.uint64(1) << np.uint64(64 - shift))
+            lz[mask] += shift
+            x[mask] = x[mask] << np.uint64(shift)
+        rank = lz + 1
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert other.p == self.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        e = self.alpha * self.m * self.m / inv.sum()
+        if e <= 2.5 * self.m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                e = self.m * math.log(self.m / zeros)
+        return float(e)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, p: int = 12) -> "HyperLogLog":
+        h = cls(p)
+        h.registers = np.frombuffer(b, dtype=np.uint8).copy()
+        return h
+
+
+def approx_distinct(ds, value_fn, *, p: int = 12) -> float:
+    """Approximate distinct count of value_fn(batch) → list[str] across
+    the Dataset: per-batch sketch partials, associative merge, estimate.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = HyperLogLog(p).add(value_fn(batch))
+        return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc = HyperLogLog(p)
+    for r in partials:
+        acc.merge(HyperLogLog.from_bytes(r["sketch"], p))
+    return acc.estimate()
+
+
+def distinct_tokens(ds, text_col: str = "text", p: int = 12) -> float:
+    """Approximate distinct whitespace-token count over a text column."""
+
+    def tokens(batch: pa.Table) -> list[str]:
+        out: list[str] = []
+        for t in batch.column(text_col).to_pylist():
+            if t:
+                out.extend(set(t.split(" ")))
+        return out
+
+    return approx_distinct(ds, tokens, p=p)
