@@ -833,6 +833,38 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+def q_user_totals_stateful(sf_dir: str):
+    """Keyed mutable state on raw actors (the Dataset-API escape hatch):
+    running per-user (count, cents) folded incrementally across streamed
+    batches; the END state must equal a plain SQL groupby."""
+    import numpy as np
+
+    from ..state.keyed import KeyedStateIndex
+
+    ev = _events(sf_dir)
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pa.array(
+            np.round(b.column("value").to_numpy(zero_copy_only=False) * 100.0)
+            .astype("int64"),
+            pa.int64(),
+        )
+        return pa.table({"user_id": b.column("user_id"), "cents": c})
+
+    idx = KeyedStateIndex(n_shards=4).consume(
+        ev.map_batches(cents, batch_format="pyarrow"), "user_id", "cents"
+    )
+    snap = idx.snapshot()
+    return snap.rename_columns(["user_id", "n_events", "sum_cents"])
+
+
+SQL_USER_TOTALS = """
+SELECT user_id, count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+FROM events GROUP BY user_id
+"""
+
+
 def q_events_window(sf_dir: str):
     return window.tumbling_window(_events(sf_dir))
 
@@ -941,6 +973,7 @@ QUERIES = {
     "regex_tokens": (q_regex_tokens, SQL_REGEX_TOKENS),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+    "user_totals_stateful": (q_user_totals_stateful, SQL_USER_TOTALS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
