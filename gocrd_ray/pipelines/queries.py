@@ -568,6 +568,87 @@ WHERE len(list_intersect(a.sh, b.sh)) > 0
 """
 
 
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate with per-batch partial combine;
+    money summed as integer cents for order-independent exactness."""
+    import numpy as np
+    import ray.data
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = pa.array(
+            np.round(b.column("l_quantity").to_numpy(zero_copy_only=False) * 100)
+            .astype("int64"),
+            pa.int64(),
+        )
+        price = pa.array(
+            np.round(
+                b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+            ).astype("int64"),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "qty_cents": qty,
+                "price_cents": price,
+            }
+        )
+        part = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_cents", "sum"), ("price_cents", "sum"), ("qty_cents", "count")]
+        )
+        name_map = {
+            "l_returnflag": "l_returnflag",
+            "l_linestatus": "l_linestatus",
+            "qty_cents_sum": "sum_qty_cents",
+            "price_cents_sum": "sum_price_cents",
+            "qty_cents_count": "n_items",
+        }
+        return part.rename_columns([name_map[c] for c in part.column_names])
+
+    agg = li.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).sum(["sum_qty_cents", "sum_price_cents", "n_items"])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty_cents", "sum_price_cents", "n_items"]
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_distinct_priorities(sf_dir: str):
+    """ds.unique — distinct values of one column (a shuffle)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority"]
+    )
+    vals = sorted(ds.unique("o_orderpriority"))
+    return pa.table({"o_orderpriority": pa.array(vals, pa.string())})
+
+
+SQL_DISTINCT_PRIORITIES = """
+SELECT DISTINCT o_orderpriority FROM orders
+"""
+
+
 def q_filtered_read(sf_dir: str):
     """Predicate + column pushdown at the Parquet read (prune at the
     read: only two columns and matching row groups leave storage)."""
@@ -956,6 +1037,8 @@ QUERIES = {
     "per_host_stats": (q_per_host_stats, SQL_PER_HOST_STATS),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "filtered_read": (q_filtered_read, SQL_FILTERED_READ),
+    "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
+    "distinct_priorities": (q_distinct_priorities, SQL_DISTINCT_PRIORITIES),
     "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
     "top_hosts": (q_top_hosts, SQL_TOP_HOSTS),
     "manifest_find": (q_manifest_find, SQL_MANIFEST_FIND),
