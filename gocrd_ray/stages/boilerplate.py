@@ -2,8 +2,10 @@
 text-density + tag-path heuristics (north_star M9; no reference analog —
 gocrd stops at PAGE-XML, this is the CC-scale generalization).
 
-Algorithm (densitometric, in the spirit of the published Boilerpipe /
-CETD line of work — shallow-feature block classification):
+Algorithm (densitometric, in the spirit of the published Boilerpipe
+(Kohlschütter et al., WSDM 2010, "Boilerplate Detection using Shallow
+Text Features") / CETD (Sun et al. 2011) line of work — shallow-feature
+block classification):
 
 1. Tokenize with stdlib ``html.parser.HTMLParser`` (lenient, never
    throws on real-world tag soup).

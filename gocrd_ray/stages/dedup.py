@@ -120,7 +120,9 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
 
 
 class MinHasher:
-    """Actor-pool stage: documents → MinHash signatures.
+    """Actor-pool stage: documents → MinHash signatures (Broder 1997,
+    "On the resemblance and containment of documents"; banding analysis
+    per Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3).
 
     Permutation parameters are built once per actor (__init__); each
     batch computes signatures with one (num_perm × n_shingles) vectorized
@@ -220,7 +222,9 @@ def lsh_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
 
 
 def simhash_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
-    """64-bit SimHash over crc32 token hashes → (id, simhash, prefix16).
+    """64-bit SimHash (Charikar 2002 random-hyperplane sketch, as used
+    for web dedup in Manku et al. 2007) over crc32 token hashes →
+    (id, simhash, prefix16).
 
     prefix16 (top 16 bits) is the bucketing key for hamming-neighbor
     search: near-dups collide in at least one of a few rotated prefixes.

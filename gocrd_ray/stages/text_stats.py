@@ -168,8 +168,10 @@ def _crc(s: str) -> int:
 def fingerprint_batch(
     batch: pa.Table, k: int = 3, window: int = 4, id_col: str = "doc_id"
 ) -> pa.Table:
-    """Winnowing document fingerprints (rolling k-token shingle hashes,
-    min per sliding window) → (id, n_shingles, fp_min, fp_xor).
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 "Winnowing: Local Algorithms for Document
+    Fingerprinting": rolling k-token shingle hashes, min per sliding
+    window) → (id, n_shingles, fp_min, fp_xor).
 
     Deterministic (crc32); the pair (fp_min, fp_xor) is a compact
     robust-ish signature for near-dup triage at scale.
