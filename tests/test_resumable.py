@@ -156,3 +156,50 @@ def test_hash_bucket_uniformity(ray_session):
     # uniform-ish: no bucket takes more than 3x the mean
     mean = sum(counts.values()) / 16
     assert max(counts.values()) < 3 * mean
+
+
+def test_semi_join_hrefs_broadcast_filter(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from gocrd_ray.oracle import MetsMatch
+    from gocrd_ray.sources import manifest as mf
+
+    man = pa.Table.from_pylist(
+        [
+            {"use": "A", "file_id": "F1", "mime_type": "m", "loc_type": "URL", "href": "u1"},
+            {"use": "A", "file_id": "F2", "mime_type": "m", "loc_type": "URL", "href": "u2"},
+            {"use": "B", "file_id": "F3", "mime_type": "m", "loc_type": "URL", "href": "u3"},
+        ],
+        schema=mf.MANIFEST_SCHEMA,
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"url": ["u1", "u2", "u3", "u4"], "v": [1, 2, 3, 4]})
+    )
+    kept = mf.semi_join_hrefs(ds, man, MetsMatch(use="A")).take_all()
+    assert sorted(r["url"] for r in kept) == ["u1", "u2"]
+
+
+def test_quality_filter_and_sample_steps(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from gocrd_ray.pipelines import steps
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": [
+                    "a b",  # too short
+                    "the the the the the the",  # all stopwords
+                    "solid document with enough real words to pass the gate",
+                    "another good document containing plenty of proper content here",
+                ],
+            }
+        )
+    )
+    kept = steps.compose(docs, [("quality_filter", {"min_tokens": 5, "max_stopword_ratio": 0.5})]).take_all()
+    assert sorted(r["doc_id"] for r in kept) == [2, 3]
+    sampled = steps.compose(docs, [("sample", {"fraction": 0.5, "seed": 1})])
+    assert sampled.count() <= 4
