@@ -68,14 +68,24 @@ def run_resumable(
     mode: str = "text",
     shards_per_unit: int = 8,
     extract_kwargs: dict | None = None,
+    n_buckets: int = 0,
 ) -> dict:
     """Run (or resume) the extraction job over ``shards``.
+
+    ``n_buckets > 0`` additionally lays each unit's output out
+    partitioned by a uniform text-digest bucket
+    (``data/unit=U/bucket=B/``) — the layout that lets corpus-wide
+    dedup/groupby run as independent bucket-local jobs at 10^12 docs
+    (docs/SCALE.md §3): bucket B of the corpus = the union of
+    ``unit=*/bucket=B`` directories, each node-memory-sized.
 
     Returns the job summary: units completed/skipped and aggregate
     row/error/byte counts from the lineage records.
     """
     import ray.data
     import shutil
+
+    from ..stages.dedup import add_hash_bucket
 
     os.makedirs(os.path.join(out_dir, "lineage"), exist_ok=True)
     units = plan_units(shards, shards_per_unit)
@@ -94,10 +104,15 @@ def run_resumable(
         t0 = time.perf_counter()
         ds = ray.data.read_parquet(members, override_num_blocks=len(members))
         ext = extract_pages(ds, mode=mode, **(extract_kwargs or {}))
+        if n_buckets:
+            ext = add_hash_bucket(ext, col="text", n_buckets=n_buckets)
         # one materialized pass serves both the write and the metrics —
         # bounded by unit size (the checkpoint granule), spillable
         ext = ext.materialize()
-        ext.write_parquet(unit_dir)
+        if n_buckets:
+            ext.write_parquet(unit_dir, partition_cols=["bucket"])
+        else:
+            ext.write_parquet(unit_dir)
         stats = _unit_stats(ext)
         wall = time.perf_counter() - t0
 
@@ -159,3 +174,33 @@ def job_summary(out_dir: str, skipped_this_run: int = 0) -> dict:
         "html_bytes": sum(r["html_bytes"] for r in records),
         "wall_sec_total": round(sum(r["wall_sec"] for r in records), 3),
     }
+
+
+def bucket_local_dedup(out_dir: str, n_buckets: int):
+    """Corpus-wide exact dedup over a bucketed layout WITHOUT a global
+    shuffle: each bucket's directories (across all units) are read and
+    deduped independently — the groupby key never leaves its bucket.
+    Returns (text_hash, url) survivors as one Dataset (union of the
+    per-bucket results).
+    """
+    import glob as _glob
+
+    import ray.data
+
+    from ..stages.dedup import exact_dedup
+
+    results = None
+    for b in range(n_buckets):
+        # a LIST of paths must be files (a single dir path would work,
+        # but bucket b spans many unit dirs)
+        paths = sorted(
+            _glob.glob(
+                os.path.join(out_dir, "data", "unit=*", f"bucket={b}", "*.parquet")
+            )
+        )
+        if not paths:
+            continue
+        bucket_ds = ray.data.read_parquet(paths, columns=["url", "text"])
+        deduped = exact_dedup(bucket_ds, id_col="url", text_col="text")
+        results = deduped if results is None else results.union(deduped)
+    return results

@@ -203,3 +203,30 @@ def test_quality_filter_and_sample_steps(ray_session):
     assert sorted(r["doc_id"] for r in kept) == [2, 3]
     sampled = steps.compose(docs, [("sample", {"fraction": 0.5, "seed": 1})])
     assert sampled.count() <= 4
+
+
+def test_bucketed_layout_and_bucket_local_dedup(ray_session, shards, tmp_path):
+    """Bucketed output partitioning + bucket-local dedup must equal a
+    global dedup (uniform digest buckets make them independent)."""
+    import glob
+
+    out = str(tmp_path / "out")
+    s = resumable.run_resumable(shards, out, shards_per_unit=3, n_buckets=4)
+    assert s["rows"] == 300
+    bucket_dirs = glob.glob(os.path.join(out, "data", "unit=*", "bucket=*"))
+    assert len({d.rsplit("bucket=", 1)[1] for d in bucket_dirs}) == 4
+
+    local = resumable.bucket_local_dedup(out, 4).take_all()
+    # global reference: dedup over everything at once
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from gocrd_ray.stages.dedup import exact_dedup
+
+    everything = ray.data.read_parquet(
+        glob.glob(os.path.join(out, "data", "unit=*", "bucket=*", "*.parquet")),
+        columns=["url", "text"],
+    )
+    global_d = exact_dedup(everything, id_col="url", text_col="text").take_all()
+    key = lambda r: (r["text_hash"] or "", r["url"])  # noqa: E731  (poison rows: null hash)
+    assert sorted(local, key=key) == sorted(global_d, key=key)
