@@ -1000,10 +1000,24 @@ def q_knn_ivf(sf_dir: str):
     return similarity.ivf_topk(_emb(sf_dir), [0, 1, 2, 3, 4], k=10)
 
 
+NEARDUP_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("sim", pa.float64())]
+)
+
+
 def q_neardup_cosine(sf_dir: str):
     # random synthetic embeddings never reach real near-dup similarity;
-    # 0.5 exercises the pair kernel with a non-empty result
-    return similarity.cosine_neardup_pairs(_emb(sf_dir), threshold=0.5)
+    # 0.5 exercises the pair kernel with a non-empty result at sf>=0.01.
+    # Returned as a schema-pinned Table: an all-empty Dataset loses its
+    # column schema through to_pandas (observed at sf0.001).
+    import ray
+
+    ds = similarity.cosine_neardup_pairs(_emb(sf_dir), threshold=0.5)
+    blocks = [ray.get(r) for r in ds.to_arrow_refs()]
+    blocks = [b.cast(NEARDUP_SCHEMA) for b in blocks if b.num_rows] or [
+        NEARDUP_SCHEMA.empty_table()
+    ]
+    return pa.concat_tables(blocks)
 
 
 def q_find_first_region(sf_dir: str):
