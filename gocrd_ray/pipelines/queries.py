@@ -768,6 +768,30 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_orders_native_join(sf_dir: str):
+    """Same join through Ray Data's built-in hash-partitioned
+    Dataset.join — all three join implementations must agree."""
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    out = join.native_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=8
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(["o_orderkey", "o_custkey", "c_name"])
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_ORDERS_NATIVE_JOIN = SQL_ORDERS_HASH_JOIN
+
+
 def q_events_asof(sf_dir: str):
     """As-of join: each purchase matched to the user's most recent
     signup at-or-before it."""
@@ -1064,6 +1088,7 @@ QUERIES = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "orders_enriched": (q_orders_enriched, SQL_ORDERS_ENRICHED),
     "orders_hash_join": (q_orders_hash_join, SQL_ORDERS_HASH_JOIN),
+    "orders_native_join": (q_orders_native_join, SQL_ORDERS_NATIVE_JOIN),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_score": (q_quality, SQL_QUALITY),

@@ -187,3 +187,23 @@ def asof_join_latest(
         )
 
     return both.groupby(by).map_groups(per_key, batch_format="pyarrow")
+
+
+def native_join(left_ds, right_ds, *, on, right_on=None,
+                join_type: str = "inner", num_partitions: int = 16):
+    """Ray Data's built-in hash-partitioned join (Dataset.join,
+    available since 2.46): the engine-managed equivalent of
+    partitioned_hash_join — prefer it when present; the explicit
+    bucketed form above stays as the portable/controllable fallback
+    (custom bucket counts, salting, provenance columns)."""
+    return left_ds.join(
+        right_ds,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=tuple(on) if not isinstance(on, str) else (on,),
+        right_on=(
+            None
+            if right_on is None
+            else (tuple(right_on) if not isinstance(right_on, str) else (right_on,))
+        ),
+    )
