@@ -36,7 +36,15 @@ def cmd_extract(args) -> int:
     _init_ray(args.num_cpus)
     import ray.data
 
-    shards = sorted(glob.glob(args.input)) or [args.input]
+    shards = sorted(glob.glob(args.input))
+    if not shards:
+        import os
+
+        if os.path.exists(args.input):
+            shards = [args.input]
+        else:
+            print(f"error: no input matches {args.input!r}", file=sys.stderr)
+            return 2
     if args.resumable:
         from .pipelines.resumable import run_resumable
 

@@ -78,6 +78,7 @@ def extract_pages(
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency or (1, 4),
+            zero_copy_batch=True,
         )
     return pages.map_batches(
         extract_batch,
