@@ -252,7 +252,7 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
     full = mode in ("full", "geom")
     geom = mode == "geom"
 
-    def region_body(elem: ET.Element) -> tuple[Optional[str], int, list, int, int]:
+    def region_body(elem: ET.Element):
         """Parse one TextRegion element's text + lines/words subtree.
 
         Returns (text, n_text_equivs, lines_out, n_lines, n_words);
@@ -260,9 +260,45 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
         """
         rtext, n_te = _first_text_equiv(elem)
         lines_out: list[dict] = []
+        stray_out: list[dict] = []
         rl = rw = 0
         for lc in elem:
-            if _LOCAL[lc.tag] != "TextLine":
+            if not isinstance(lc.tag, str):
+                continue
+            ltag = _LOCAL[lc.tag]
+            if ltag != "TextLine":
+                # the reference's /Page/*/*/Word wildcard reaches Word
+                # children of ANY region child (page/page.go:104-106) —
+                # capture word-bearing non-TextLine containers separately
+                if full:
+                    stray_words = []
+                    for wc in lc:
+                        if isinstance(wc.tag, str) and _LOCAL[wc.tag] == "Word":
+                            wtext, _ = _first_text_equiv(wc)
+                            w_pts = _coords_str_of(wc)
+                            w_all = _all_text_equivs(wc)
+                            stray_words.append(
+                                {
+                                    "word_id": _attr(wc, "id") or "",
+                                    "text": wtext,
+                                    "alt_texts": w_all[1:] if len(w_all) > 1 else [],
+                                    "coords": _parse_points(w_pts) if geom else None,
+                                    "bbox": _bbox_of_str(w_pts),
+                                }
+                            )
+                    if stray_words:
+                        stray_out.append(
+                            {
+                                "line_id": _attr(lc, "id") or "",
+                                "tag": ltag,
+                                "text": None,
+                                "alt_texts": [],
+                                "coords": None,
+                                "bbox": None,
+                                "baseline": None,
+                                "words": stray_words,
+                            }
+                        )
                 continue
             rl += 1
             words_out: list[dict] = []
@@ -292,6 +328,7 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
                 lines_out.append(
                     {
                         "line_id": _attr(lc, "id") or "",
+                        "tag": "TextLine",
                         "text": ltext,
                         "alt_texts": l_all[1:] if len(l_all) > 1 else [],
                         "coords": _parse_points(l_pts) if geom else None,
@@ -300,7 +337,7 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
                         "words": words_out,
                     }
                 )
-        return rtext, n_te, lines_out, rl, rw
+        return rtext, n_te, lines_out, stray_out, rl, rw
 
     used_elems: set[int] = set()
     for seq, (ro_index, rid, ro_pos) in enumerate(ro_entries):
@@ -310,10 +347,11 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
         rtext: Optional[str] = None
         n_te = 0
         lines_out: list[dict] = []
+        stray_out: list[dict] = []
         r_coords = None
         if hit is not None:
             _, elem = hit
-            rtext, n_te, lines_out, rl, rw = region_body(elem)
+            rtext, n_te, lines_out, stray_out, rl, rw = region_body(elem)
             n_lines += rl
             n_words += rw
             if full:
@@ -343,6 +381,7 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
                     "bbox": _bbox_of_str(r_coords),
                     "missing_element": hit is None,
                     "lines": lines_out,
+                    "stray_lines": stray_out,
                 }
             )
 
@@ -369,6 +408,7 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
                     "bbox": None,
                     "missing_element": rid not in region_elems,
                     "lines": [],
+                    "stray_lines": [],
                 }
             )
         # Orphan elements: Page children not claimed by a ReadingOrder
@@ -381,7 +421,7 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
         for pos, tag, elem in candidates:
             if id(elem) in used_elems:
                 continue
-            rtext, n_te, lines_out, _, _ = region_body(elem)
+            rtext, n_te, lines_out, stray_out, _, _ = region_body(elem)
             r_coords = _coords_str_of(elem)
             regions_out.append(
                 {
@@ -399,6 +439,7 @@ def extract_doc(data: bytes, mode: str = "text") -> dict[str, Any]:
                     "bbox": _bbox_of_str(r_coords),
                     "missing_element": False,
                     "lines": lines_out,
+                    "stray_lines": stray_out,
                 }
             )
 

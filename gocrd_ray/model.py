@@ -47,6 +47,8 @@ WORD = pa.struct(
 LINE = pa.struct(
     [
         ("line_id", pa.string()),
+        ("tag", pa.string()),  # "TextLine" normally; the container's tag
+        # for stray_lines entries (non-TextLine children carrying Words)
         ("text", pa.string()),
         ("alt_texts", pa.list_(pa.string())),
         ("coords", COORDS),
@@ -79,7 +81,11 @@ REGION = pa.struct(
         ("coords", COORDS),
         ("bbox", BBOX),
         ("missing_element", pa.bool_()),  # RO ref with no TextRegion element
-        ("lines", pa.list_(LINE)),
+        ("lines", pa.list_(LINE)),  # TextLine children, document order
+        ("stray_lines", pa.list_(LINE)),  # non-TextLine children that carry
+        # Word elements — reachable by the reference's /Page/*/*/Word
+        # wildcard (page/page.go:104-106) but invisible to line-level
+        # paths; excluded from n_lines/n_words/doc_text
     ]
 )
 
@@ -158,6 +164,7 @@ WORDS_FLAT_SCHEMA = pa.schema(
         ("doc_order", pa.int32()),
         ("region_seq", pa.int32()),
         ("line_id", pa.string()),
+        ("line_tag", pa.string()),
         ("line_seq", pa.int32()),
         ("word_id", pa.string()),
         ("word_seq", pa.int32()),

@@ -100,12 +100,15 @@ def explode_lines(batch: pa.Table) -> pa.Table:
     return pa.table(cols).cast(LINES_FLAT_SCHEMA)
 
 
-def explode_words(batch: pa.Table) -> pa.Table:
+def _words_from(batch: pa.Table, lines_field: str, line_seq_base: int) -> pa.Table:
     url, rflat, rseq = _flatten_regions(batch)
-    lines = pc.struct_field(rflat, "lines")
+    lines = pc.struct_field(rflat, lines_field)
     lparents = pc.list_parent_indices(lines)
     lflat = pc.list_flatten(lines)
     lseq = _seq_within(lines)
+    if line_seq_base:
+        lseq = pc.add(lseq, pa.scalar(line_seq_base, pa.int32()))
+        lseq = pc.cast(lseq, pa.int32())
     words = pc.struct_field(lflat, "words")
     wparents = pc.list_parent_indices(words)
     wflat = pc.list_flatten(words)
@@ -121,6 +124,7 @@ def explode_words(batch: pa.Table) -> pa.Table:
         "doc_order": take_w(take_l(pc.struct_field(rflat, "doc_order"))),
         "region_seq": take_w(take_l(rseq)),
         "line_id": take_w(pc.struct_field(lflat, "line_id")),
+        "line_tag": take_w(pc.struct_field(lflat, "tag")),
         "line_seq": take_w(lseq),
         "word_id": f("word_id"),
         "word_seq": wseq,
@@ -128,6 +132,17 @@ def explode_words(batch: pa.Table) -> pa.Table:
         **_bbox_fields(wflat),
     }
     return pa.table(cols).cast(WORDS_FLAT_SCHEMA)
+
+
+def explode_words(batch: pa.Table) -> pa.Table:
+    """All Word rows: TextLine words plus stray words (Words under
+    non-TextLine region children — the /Page/*/*/Word wildcard surface).
+    Stray rows get line_seq >= 100000: they sort after real lines, an
+    approximation of document order that only matters for first-match
+    among duplicate word ids straddling both kinds of container."""
+    main = _words_from(batch, "lines", 0)
+    stray = _words_from(batch, "stray_lines", 100_000)
+    return pa.concat_tables([main, stray]) if stray.num_rows else main
 
 
 # -- Dataset-level helpers ---------------------------------------------------

@@ -19,10 +19,13 @@ conjunctive-equality filters with reachability rules:
 rule (page/page.go:110-127); the reference itself assumes IDs are unique
 per document (page/page.go:133-134).
 
-Known divergence (impossible inputs per the PAGE schema): Word elements
-nested under a non-TextLine child of a region are not captured by the
-extractor, so a word-only wildcard cannot reach them; the reference's
-``/Page/*/*/Word`` could. No fixture or real PAGE document has these.
+Stray words (Word elements under a non-TextLine region child — outside
+the PAGE schema but reachable by the reference's ``/Page/*/*/Word``
+wildcard) ARE captured: the hierarchy keeps them in ``stray_lines`` and
+the words view exposes them with their container's ``line_tag``, so a
+word-only wildcard finds them while a ``/TextLine[@id]/Word`` path does
+not. Their line_seq sorts after real lines (approximate document order;
+only observable for duplicate word ids straddling container kinds).
 """
 
 from __future__ import annotations
@@ -76,6 +79,10 @@ def match_filter(m: Match):
         conj(f("region_tag") == "TextRegion")
     if m.line_id:
         conj(f("line_id") == m.line_id)
+        if level == "word":
+            # /TextLine[@id]/Word requires the line step's tag; a
+            # word-only wildcard (/Page/*/*/Word) does not
+            conj(f("line_tag") == "TextLine")
     if level == "word":
         conj(f("word_id") == m.word_id)
     return level, expr

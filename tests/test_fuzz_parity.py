@@ -37,12 +37,15 @@ def documents(draw):
         for i in range(n_lines):
             lid = draw(ids)
             wtext = escape(draw(texts))
+            # sometimes a non-TextLine container carrying a Word — the
+            # /Page/*/*/Word wildcard must still reach it
+            container = draw(st.sampled_from(["TextLine", "TextLine", "WeirdBox"]))
             lines.append(
-                f'<TextLine id={quoteattr(lid)}>'
+                f'<{container} id={quoteattr(lid)}>'
                 f'<Word id="w{k}_{i}"><TextEquiv><Unicode>{wtext}</Unicode>'
                 f"</TextEquiv></Word>"
                 f"<TextEquiv><Unicode>{escape(draw(texts))}</Unicode></TextEquiv>"
-                f"</TextLine>"
+                f"</{container}>"
             )
         regions.append(
             f"<TextRegion id={quoteattr(rid)}>" + "".join(lines) + tes + "</TextRegion>"
@@ -82,13 +85,13 @@ def test_fuzz_doc_text_parity(doc):
 
 @settings(max_examples=100, deadline=None)
 @given(documents(), st.sampled_from(["", "a", "r_1", "missing_ref"]),
-       st.sampled_from(["", "a", "b_2"]))
-def test_fuzz_region_line_find_parity(doc, rid, lid):
+       st.sampled_from(["", "a", "b_2"]), st.sampled_from(["", "w0_0", "w1_1"]))
+def test_fuzz_match_find_parity(doc, rid, lid, wid):
     import pyarrow as pa
 
     from gocrd_ray.stages import explode, match
 
-    m = oracle.Match(region_id=rid, line_id=lid)
+    m = oracle.Match(region_id=rid, line_id=lid, word_id=wid)
     level = match.match_level(m)
     if level == "none":
         return
@@ -96,11 +99,13 @@ def test_fuzz_region_line_find_parity(doc, rid, lid):
     node, want = page.find(m)
     tbl = pa.table({"url": ["u"], "html": pa.array([doc], pa.binary())})
     full = extract.extract_batch(tbl, mode="full")
-    view = {"region": explode.explode_regions, "line": explode.explode_lines}[
-        level
-    ](full)
+    view = {
+        "region": explode.explode_regions,
+        "line": explode.explode_lines,
+        "word": explode.explode_words,
+    }[level](full)
     row, got = match.resolve_first(view, m)
-    assert got == want
+    assert got == want, str(m)
     if want:
-        id_col = {"region": "region_id", "line": "line_id"}[level]
+        id_col = {"region": "region_id", "line": "line_id", "word": "word_id"}[level]
         assert row[id_col] == node.id()
