@@ -145,3 +145,14 @@ def test_geom_mode_preserves_polygons():
                     assert wf["bbox"] == wg["bbox"]
                     if wg["coords"] is not None:
                         assert extract._bbox(wg["coords"]) == wg["bbox"]
+
+
+def test_non_pcgts_root_yields_empty_text(mets_bytes):
+    """A non-PcGts XML document (e.g. a METS manifest fed to the page
+    extractor) extracts to empty text with no error — every /PcGts/...
+    query over it matches nothing, like the reference's xmlpath."""
+    got = extract.extract_doc(mets_bytes, mode="full")
+    assert got["error"] is None
+    assert got["text"] == "" and got["n_regions"] == 0
+    assert got["regions"] == []
+    assert oracle.Page.from_bytes(mets_bytes).doc_text() == ""
