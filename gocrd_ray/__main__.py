@@ -76,6 +76,36 @@ def cmd_gen(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    _init_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.queries import QUERIES
+
+    if args.name not in QUERIES:
+        print(
+            f"error: unknown query {args.name!r}; known: {sorted(QUERIES)}",
+            file=sys.stderr,
+        )
+        return 2
+    fn, _sql = QUERIES[args.name]
+    res = fn(args.sf_dir)
+    if isinstance(res, ray.data.Dataset):
+        res = res.to_pandas()
+    else:
+        import pyarrow as pa
+
+        if isinstance(res, pa.Table):
+            res = res.to_pandas()
+    if args.output:
+        res.to_parquet(args.output, index=False)
+        print(json.dumps({"rows": len(res), "output": args.output}))
+    else:
+        print(res.head(args.limit).to_string())
+        print(json.dumps({"rows": len(res)}))
+    return 0
+
+
 def cmd_steps(_args) -> int:
     from .pipelines.steps import registered_steps
 
@@ -105,6 +135,14 @@ def main(argv=None) -> int:
 
     st = sub.add_parser("steps", help="list registered pipeline steps")
     st.set_defaults(fn=cmd_steps)
+
+    qp = sub.add_parser("query", help="run a registered query")
+    qp.add_argument("name")
+    qp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    qp.add_argument("--output", default=None, help="write result parquet here")
+    qp.add_argument("--limit", type=int, default=10)
+    qp.add_argument("--num-cpus", type=int, default=None)
+    qp.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)
