@@ -987,6 +987,37 @@ GROUP BY 1, 2
 # -- rows-only queries (no faithful ANSI-SQL form) ---------------------------
 
 
+def q_top_tokens(sf_dir: str):
+    """Heavy hitters: top-20 tokens by corpus frequency. Per-batch
+    partial counts combine before the global groupby — the hot token
+    contributes one partial row per block, never one row per
+    occurrence."""
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(b.column("text"), " "))
+        t = pa.table({"token": toks})
+        part = pa.TableGroupBy(t, "token").aggregate([("token", "count")])
+        name_map = {"token": "token", "token_count": "n"}
+        return part.rename_columns([name_map[c] for c in part.column_names])
+
+    partials = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("token").sum("n")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["token", "n"])
+
+    counts = agg.map_batches(rename, batch_format="pyarrow")
+    top = counts.sort(["n", "token"], descending=[True, False]).limit(20)
+    return top
+
+
+SQL_TOP_TOKENS = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+QUALIFY row_number() OVER (ORDER BY n DESC, token ASC) <= 20
+"""
+
+
 def q_distinct_tokens(sf_dir: str):
     """HLL sketch estimate of distinct tokens (rows-only: approximate
     by design; accuracy pinned vs exact in tests/test_sketch.py)."""
@@ -1100,6 +1131,7 @@ QUERIES = {
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
     "distinct_tokens_sketch": (q_distinct_tokens, None),
+    "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "dedup_simhash": (q_dedup_simhash, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "langid": (q_langid, None),
