@@ -914,6 +914,57 @@ QUALIFY rank <= 10
 """
 
 
+def q_event_quantiles(sf_dir: str):
+    """Exact per-group order statistics (p50/p90/p99 of value-cents):
+    groupby(event_type) shuffles the cents column only; each group sorts
+    locally. Index convention = DuckDB quantile_disc (ceil(q*n)-1),
+    calibrated empirically."""
+    import math
+
+    import numpy as np
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pa.array(
+            np.round(b.column("value").to_numpy(zero_copy_only=False) * 100.0)
+            .astype("int64"),
+            pa.int64(),
+        )
+        return pa.table({"event_type": b.column("event_type"), "cents": c})
+
+    def per_group(group: pa.Table) -> pa.Table:
+        vals = sorted(group.column("cents").to_pylist())
+        n = len(vals)
+        qs = {q: vals[min(n - 1, max(0, math.ceil(q * n) - 1))] for q in (0.5, 0.9, 0.99)}
+        return pa.table(
+            {
+                "event_type": pa.array([group.column("event_type")[0].as_py()]),
+                "p50_cents": pa.array([qs[0.5]], pa.int64()),
+                "p90_cents": pa.array([qs[0.9]], pa.int64()),
+                "p99_cents": pa.array([qs[0.99]], pa.int64()),
+                "n_events": pa.array([n], pa.int64()),
+            }
+        )
+
+    return ev.map_batches(cents, batch_format="pyarrow").groupby(
+        "event_type"
+    ).map_groups(per_group, batch_format="pyarrow")
+
+
+SQL_EVENT_QUANTILES = """
+SELECT event_type,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9) AS p90_cents,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS p99_cents,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def q_sessionize(sf_dir: str):
     return window.sessionize(_events(sf_dir), gap_minutes=30)
 
@@ -1128,6 +1179,7 @@ QUERIES = {
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "user_totals_stateful": (q_user_totals_stateful, SQL_USER_TOTALS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "event_quantiles": (q_event_quantiles, SQL_EVENT_QUANTILES),
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
     "distinct_tokens_sketch": (q_distinct_tokens, None),
