@@ -534,6 +534,36 @@ FROM documents
 """
 
 
+def q_blocklist_filter(sf_dir: str):
+    """Broadcast anti-join: exclude documents from blocklisted hosts
+    (h00–h04) — the standard CC domain-exclusion stage."""
+    blocked_hosts = {f"h{k:02d}.example.com" for k in range(5)}
+    ext = extract_pages(pages_from_documents(sf_dir), mode="text")
+
+    def host_col(b: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(b.column("url"), r"//(?P<host>[^/]+)/"), "host"
+        )
+        return b.append_column("host", host)
+
+    with_host = ext.map_batches(host_col, batch_format="pyarrow")
+    kept = mf.anti_join_blocklist(with_host, blocked_hosts, key="host")
+
+    def proj(b: pa.Table) -> pa.Table:
+        return _i64(b.select(["url", "host", "n_words"]), ["n_words"])
+
+    return kept.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_BLOCKLIST_FILTER = f"""
+SELECT {URL_SQL} AS url,
+       'h' || lpad((doc_id % 50)::VARCHAR, 2, '0') || '.example.com' AS host,
+       len(string_split(text, ' ')) AS n_words
+FROM documents
+WHERE doc_id % 50 >= 5
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_docs(sf_dir))
 
@@ -1163,6 +1193,7 @@ QUERIES = {
     "top_hosts": (q_top_hosts, SQL_TOP_HOSTS),
     "manifest_find": (q_manifest_find, SQL_MANIFEST_FIND),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
     "dedup_url": (q_dedup_url, SQL_DEDUP_URL),
     "dedup_url_latest": (q_dedup_url_latest, SQL_DEDUP_URL_LATEST),
     "lang_counts": (q_lang_counts, SQL_LANG_COUNTS),

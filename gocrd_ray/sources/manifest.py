@@ -105,3 +105,21 @@ def semi_join_hrefs(ds, manifest: pa.Table, m: MetsMatch, key: str = "url"):
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def anti_join_blocklist(ds, blocked: set[str], key: str = "url"):
+    """Broadcast ANTI-join: drop rows whose ``key`` is in the blocklist
+    (domain/url exclusion — the standard CC compliance stage). The
+    blocklist is ray.put once; each batch filters with a vectorized
+    is_in + invert. No shuffle.
+    """
+    import ray
+
+    ref = ray.put(pa.array(sorted(blocked)))
+
+    def drop(batch: pa.Table) -> pa.Table:
+        bl = ray.get(ref)
+        mask = pc.invert(pc.is_in(batch.column(key), value_set=bl))
+        return batch.filter(mask)
+
+    return ds.map_batches(drop, batch_format="pyarrow")

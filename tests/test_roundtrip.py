@@ -108,3 +108,19 @@ def test_actor_pool_extraction_matches_task_path(ray_session):
     ).take_all()
     key = lambda r: r["url"]  # noqa: E731
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_cli_gen_and_steps(ray_session, tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from gocrd_ray.__main__ import main
+
+    assert main(["gen", "--n-docs", "30", "--output", str(tmp_path / "g")]) == 0
+    assert pq.ParquetDataset(str(tmp_path / "g")).read().num_rows == 30
+    assert main(["steps"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert "extract_full" in json.loads(out)
+    assert main(["extract", "--input", "/nonexistent/*.parquet",
+                 "--output", str(tmp_path / "x")]) == 2
