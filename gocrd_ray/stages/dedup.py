@@ -158,7 +158,8 @@ class MinHasher:
 
 
 def lsh_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
-                        id_col: str = "doc_id"):
+                        id_col: str = "doc_id", shard: int | None = None,
+                        n_shards: int = 1):
     """MinHash+LSH candidate pairs: shingle → signature → band-bucket
     groupby → within-bucket pairs (SURVEY-plus operator; no reference
     analog — [scale]).
@@ -205,6 +206,22 @@ def lsh_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
             {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64()),
              "n": pa.array([1] * len(a), pa.int64())}
         )
+
+    if shard is not None:
+        # job-level decomposition (docs/SCALE.md §3): bucket keys are
+        # uniform, so restricting to bkey % n_shards == shard yields an
+        # INDEPENDENT sub-job that checkpoints separately. A pair's band
+        # collisions split across shards — combine shard outputs by
+        # summing n_buckets per (id_a, id_b) (verified in tests).
+        def only_shard(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            import numpy as _np
+
+            bk = b.column("bkey").to_numpy(zero_copy_only=False)
+            mask = pa.array((_np.asarray(bk) % n_shards) == shard)
+            return b.filter(mask)
+
+        buckets = buckets.map_batches(only_shard, batch_format="pyarrow")
 
     pairs = buckets.groupby(["band", "bkey"]).map_groups(
         pairs_in_bucket, batch_format="pyarrow"

@@ -83,3 +83,21 @@ def test_minhash_signature_estimates_jaccard():
     uni = len(sh(a) | sh(b))
     exact = inter / uni
     assert abs(est - exact) < 0.2, (est, exact)
+
+
+def test_lsh_shard_decomposition(ray_session):
+    """LSH sharded into independent sub-jobs must union to the full
+    result — the job-level decomposition a 10^12-doc run relies on."""
+    import ray.data
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    full = {
+        (r["id_a"], r["id_b"]): r["n_buckets"]
+        for r in dedup.lsh_candidate_pairs(docs).take_all()
+    }
+    sharded: dict = {}
+    for s in range(3):
+        for r in dedup.lsh_candidate_pairs(docs, shard=s, n_shards=3).take_all():
+            k = (r["id_a"], r["id_b"])
+            sharded[k] = sharded.get(k, 0) + r["n_buckets"]
+    assert sharded == full and full  # same pairs, same total multiplicities
