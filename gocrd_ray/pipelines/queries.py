@@ -944,6 +944,61 @@ QUALIFY rank <= 10
 """
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding 2h windows stepping hourly over the events stream."""
+    return window.sliding_window(_events(sf_dir), size_hours=2, step_hours=1)
+
+
+SQL_EVENTS_SLIDING = """
+WITH g AS (SELECT unnest(range(2)) AS k)
+SELECT date_trunc('hour', ts) - to_microseconds(k * 3600000000) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+FROM events, g
+GROUP BY 1, 2
+"""
+
+
+def q_top_tokens_per_lang(sf_dir: str):
+    """Grouped top-k: the 3 most frequent tokens per language —
+    partial (lang, token) counts combine before the shuffle, the final
+    per-group ranking is deterministic (count desc, token asc)."""
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        parents = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        langs = pc.take(b.column("lang"), parents)
+        t = pa.table({"lang": langs, "token": flat})
+        part = pa.TableGroupBy(t, ["lang", "token"]).aggregate([("token", "count")])
+        name_map = {"lang": "lang", "token": "token", "token_count": "n"}
+        return part.rename_columns([name_map[c] for c in part.column_names])
+
+    partials = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["lang", "token"]).sum("n")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["lang", "token", "n"])
+
+    counts = agg.map_batches(rename, batch_format="pyarrow")
+
+    def topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("n", "descending"), ("token", "ascending")]
+        )
+        return group.take(idx[:3])
+
+    return counts.groupby("lang").map_groups(topk, batch_format="pyarrow")
+
+
+SQL_TOP_TOKENS_PER_LANG = """
+SELECT lang, token, count(*) AS n
+FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY lang, token
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) <= 3
+"""
+
+
 def q_event_quantiles(sf_dir: str):
     """Exact per-group order statistics (p50/p90/p99 of value-cents):
     groupby(event_type) shuffles the cents column only; each group sorts
@@ -1211,6 +1266,8 @@ QUERIES = {
     "user_totals_stateful": (q_user_totals_stateful, SQL_USER_TOTALS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "event_quantiles": (q_event_quantiles, SQL_EVENT_QUANTILES),
+    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
+    "top_tokens_per_lang": (q_top_tokens_per_lang, SQL_TOP_TOKENS_PER_LANG),
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
     "distinct_tokens_sketch": (q_distinct_tokens, None),

@@ -122,3 +122,64 @@ def sessionize(events_ds, gap_minutes: int = 30):
     return events_ds.groupby("user_id").map_groups(
         per_user, batch_format="pyarrow"
     )
+
+
+def sliding_window(events_ds, *, size_hours: int = 2, step_hours: int = 1):
+    """Sliding event-time windows: each event contributes to every
+    window [start, start+size) whose step-aligned start covers it —
+    assignment happens vectorized per batch (one output row per
+    (event, covered window)), then the usual partial-combine + global
+    groupby. size/step in whole hours keeps window starts exact.
+
+    Returns (window_start, event_type, n_events, sum_cents).
+    """
+    n_covers = size_hours // step_hours
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        # epoch hours, floored to the step grid
+        step_us = np.int64(step_hours) * 3_600_000_000
+        base = (ts.astype("datetime64[us]").astype(np.int64) // step_us) * step_us
+        cents = np.round(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        et = batch.column("event_type")
+        parts = []
+        for k in range(n_covers):
+            start = base - np.int64(k) * step_us
+            parts.append(
+                pa.table(
+                    {
+                        "window_start": pa.array(
+                            start.astype("datetime64[us]"), pa.timestamp("us")
+                        ),
+                        "event_type": et,
+                        "cents": pa.array(cents, pa.int64()),
+                    }
+                )
+            )
+        t = pa.concat_tables(parts)
+        part = pa.TableGroupBy(t, ["window_start", "event_type"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        name_map = {
+            "window_start": "window_start",
+            "event_type": "event_type",
+            "cents_sum": "sum_cents",
+            "cents_count": "n_events",
+        }
+        return part.rename_columns([name_map[c] for c in part.column_names])
+
+    partials = events_ds.map_batches(assign, batch_format="pyarrow")
+    agg = partials.groupby(["window_start", "event_type"]).sum(
+        ["n_events", "sum_cents"]
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["window_start", "event_type", "n_events", "sum_cents"]
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
