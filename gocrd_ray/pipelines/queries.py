@@ -269,6 +269,34 @@ GROUP BY doc_id
 """
 
 
+def q_extract_links(sf_dir: str):
+    """Outlink extraction over the generated HTML corpus; target list is
+    fully determined by the generator (2 nav + 6 category links/doc)."""
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pages = docs.map_batches(
+        pagegen.html_pages_batch_from_documents, batch_format="pyarrow"
+    )
+    return boilerplate.extract_links(pages)
+
+
+SQL_EXTRACT_LINKS = f"""
+WITH l AS (
+  SELECT doc_id, unnest(range(8)) AS link_seq FROM documents
+)
+SELECT {URL_SQL} AS url,
+       CASE WHEN link_seq = 0 THEN '/'
+            WHEN link_seq = 1 THEN '/about'
+            ELSE '/cat/' || doc_id::VARCHAR || '/' || (link_seq - 2)::VARCHAR
+       END AS target,
+       link_seq
+FROM l
+"""
+
+
 def q_doc_spans(sf_dir: str):
     """Per-region span offsets into doc_text — the north-star span
     output, SQL-checked end to end."""
@@ -1231,6 +1259,7 @@ WHERE len(string_split(text, ' ')) > 40
 QUERIES = {
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
+    "extract_links": (q_extract_links, SQL_EXTRACT_LINKS),
     "regions_flat": (q_regions_flat, SQL_REGIONS_FLAT),
     "lines_flat": (q_lines_flat, SQL_LINES_FLAT),
     "words_flat": (q_words_flat, SQL_WORDS_FLAT),

@@ -76,6 +76,7 @@ class _BlockParser(HTMLParser):
         self.skip_depth = 0
         self.link_depth = 0
         self.blocks: list[dict] = []
+        self.links: list[str] = []  # href targets, document order
         self._buf: list[str] = []
         self._link_chars = 0
         self._path_at_open = ""
@@ -105,6 +106,10 @@ class _BlockParser(HTMLParser):
             return
         if tag == "a":
             self.link_depth += 1
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.links.append(v)
+                    break
         if tag in BLOCK_TAGS:
             self._flush()
         self.stack.append(tag)
@@ -235,4 +240,37 @@ def strip_boilerplate(pages_ds, *, concurrency=(1, 8), **thresholds):
         batch_format="pyarrow",
         concurrency=concurrency,
         zero_copy_batch=True,
+    )
+
+
+def extract_links_batch(batch: pa.Table) -> pa.Table:
+    """Link harvesting: (url, target, link_seq) for every <a href> in
+    document order (script/style subtrees excluded) — the outlink table
+    a crawl-graph pipeline builds from."""
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    out_u, out_t, out_s = [], [], []
+    for u, h in zip(urls, htmls):
+        p = _BlockParser()
+        try:
+            p.feed((h or b"").decode("utf-8", errors="replace"))
+            p.close()
+        except Exception:
+            continue
+        for i, t in enumerate(p.links):
+            out_u.append(u)
+            out_t.append(t)
+            out_s.append(i)
+    return pa.table(
+        {
+            "url": pa.array(out_u, pa.string()),
+            "target": pa.array(out_t, pa.string()),
+            "link_seq": pa.array(out_s, pa.int64()),
+        }
+    )
+
+
+def extract_links(pages_ds, **kwargs):
+    return pages_ds.map_batches(
+        extract_links_batch, batch_format="pyarrow", **kwargs
     )
