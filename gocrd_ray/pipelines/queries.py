@@ -46,18 +46,32 @@ def _i64(t: pa.Table, cols: list[str]) -> pa.Table:
     return pa.table(dict(zip(t.column_names, arrays)))
 
 
-_FULL_CACHE: dict[str, object] = {}
+_FULL_CACHE: dict[str, tuple[str, object]] = {}
+
+
+def _session_token() -> str:
+    import ray
+
+    try:
+        # node id is fresh per ray.init cycle (job id is not)
+        return ray.get_runtime_context().get_node_id()
+    except Exception:
+        return "no-session"
 
 
 def _full(sf_dir: str):
     """Materialized full-extraction Dataset, memoized per sf_dir — several
     queries project different views of the same extraction; extracting
     once and fanning out the materialized blocks is the intended usage
-    pattern (and what a real deployment would do)."""
-    ds = _FULL_CACHE.get(sf_dir)
-    if ds is None:
-        ds = extract_pages(pages_from_documents(sf_dir), mode="full").materialize()
-        _FULL_CACHE[sf_dir] = ds
+    pattern (and what a real deployment would do). Keyed by the Ray job
+    id so a shutdown+reinit in the same process never serves stale
+    object refs."""
+    token = _session_token()
+    hit = _FULL_CACHE.get(sf_dir)
+    if hit is not None and hit[0] == token:
+        return hit[1]
+    ds = extract_pages(pages_from_documents(sf_dir), mode="full").materialize()
+    _FULL_CACHE[sf_dir] = (token, ds)
     return ds
 
 
