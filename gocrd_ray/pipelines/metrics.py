@@ -12,11 +12,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_HOST_RE = r"^[a-z]+://(?P<host>[^/]+)/"
-
-
-def host_of(url_col) -> pa.Array:
-    return pc.struct_field(pc.extract_regex(url_col, _HOST_RE), "host")
+from ..functions.scalars import host_of_url as host_of
 
 
 def per_host_partial(batch: pa.Table) -> pa.Table:

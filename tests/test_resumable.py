@@ -230,3 +230,27 @@ def test_bucketed_layout_and_bucket_local_dedup(ray_session, shards, tmp_path):
     global_d = exact_dedup(everything, id_col="url", text_col="text").take_all()
     key = lambda r: (r["text_hash"] or "", r["url"])  # noqa: E731  (poison rows: null hash)
     assert sorted(local, key=key) == sorted(global_d, key=key)
+
+
+def test_with_broadcast_helper(ray_session):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from gocrd_ray.state.broadcast import WithBroadcast, broadcast
+
+    lookup = {"a": 10, "b": 20}
+    ref = broadcast(lookup)
+
+    def enrich(batch: pa.Table, lut: dict) -> pa.Table:
+        vals = [lut.get(k, -1) for k in batch.column("k").to_pylist()]
+        return batch.append_column("v", pa.array(vals, pa.int64()))
+
+    ds = ray.data.from_arrow(pa.table({"k": ["a", "b", "c"]}))
+    out = ds.map_batches(
+        WithBroadcast,
+        fn_constructor_kwargs={"ref": ref, "fn": enrich},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    ).take_all()
+    assert {r["k"]: r["v"] for r in out} == {"a": 10, "b": 20, "c": -1}
