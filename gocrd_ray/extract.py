@@ -49,11 +49,26 @@ def _attr(elem: ET.Element, name: str) -> Optional[str]:
     return None
 
 
+# Pinned engine semantic (diverges from the reference, deliberately):
+# integers outside int32 are treated as MALFORMED. Go's strconv.Atoi
+# accepts up to int64, but our declared Arrow schema stores coords and
+# reading-order indexes as int32 (model.py: POINT/BBOX/ro_index) — at CC
+# scale a single hostile doc with a 3e9 coordinate must become a null
+# bbox / skipped RO entry, never an ArrowInvalid that kills the batch
+# (the poison-row guarantee). Real PAGE-XML coordinates are pixel
+# offsets and never approach 2^31.
+_INT32_MIN = -(2**31)
+_INT32_MAX = 2**31 - 1
+
+
 def _atoi(s: str) -> int:
     t = s[1:] if s[:1] in "+-" else s
     if not t or not t.isascii() or not t.isdigit():
         raise ValueError(f"invalid integer {s!r}")
-    return int(s, 10)
+    v = int(s, 10)
+    if v < _INT32_MIN or v > _INT32_MAX:
+        raise ValueError(f"integer out of int32 range {s!r}")
+    return v
 
 
 # whole-attribute validation in one C regex: >=2 "x,y" int pairs joined
@@ -74,7 +89,14 @@ def _parse_points(s: Optional[str]) -> Optional[list[dict]]:
     pts = []
     for p in s.split(" "):
         x, _, y = p.partition(",")
-        pts.append({"x": int(x), "y": int(y)})
+        xi = int(x)
+        yi = int(y)
+        if (
+            xi < _INT32_MIN or xi > _INT32_MAX
+            or yi < _INT32_MIN or yi > _INT32_MAX
+        ):
+            return None  # out-of-int32 coordinate = malformed (pinned)
+        pts.append({"x": xi, "y": yi})
     return pts
 
 
@@ -97,7 +119,10 @@ def _bbox_of_str(s: Optional[str]) -> Optional[dict]:
         x, _, y = p.partition(",")
         xs.append(int(x))
         ys.append(int(y))
-    return {"x0": min(xs), "y0": min(ys), "x1": max(xs), "y1": max(ys)}
+    x0, y0, x1, y1 = min(xs), min(ys), max(xs), max(ys)
+    if x0 < _INT32_MIN or y0 < _INT32_MIN or x1 > _INT32_MAX or y1 > _INT32_MAX:
+        return None  # out-of-int32 coordinate = malformed (pinned)
+    return {"x0": x0, "y0": y0, "x1": x1, "y1": y1}
 
 
 def _first_text_equiv(elem: ET.Element) -> tuple[Optional[str], int]:

@@ -123,11 +123,19 @@ def parse_points(s: Optional[str]) -> list[tuple[int, int]]:
 
 
 def _atoi(s: str) -> int:
-    """Go strconv.Atoi semantics: [+-]?digits, no spaces/underscores."""
+    """Go strconv.Atoi syntax ([+-]?digits, no spaces/underscores) with
+    the engine's pinned int32 range: values outside int32 raise, so an
+    oversized coordinate is a polygon error and an oversized
+    reading-order @index is a skipped entry. Deliberate divergence from
+    the reference (Go Atoi accepts int64) — see extract._atoi for why;
+    oracle and engine must agree."""
     t = s[1:] if s[:1] in "+-" else s
     if not t or not t.isascii() or not t.isdigit():
         raise ValueError(f"invalid integer {s!r}")
-    return int(s, 10)
+    v = int(s, 10)
+    if v < -(2**31) or v > 2**31 - 1:
+        raise ValueError(f"integer out of int32 range {s!r}")
+    return v
 
 
 def bbox(points: list[tuple[int, int]]) -> tuple[int, int, int, int]:

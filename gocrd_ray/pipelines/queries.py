@@ -250,6 +250,11 @@ def q_html_main_text(sf_dir: str):
     ext = boilerplate.strip_boilerplate(pages)
 
     def proj(b: pa.Table) -> pa.Table:
+        # the SQL mirror filters paragraphs (length >= 40) BEFORE its
+        # GROUP BY, so a document with no qualifying paragraph has no
+        # row there — drop the engine's empty-doc rows to keep parity
+        # by construction on corpora with very short documents
+        b = b.filter(pc.greater(b.column("n_content_blocks"), 0))
         return pa.table(
             {
                 "url": b.column("url"),
@@ -347,8 +352,9 @@ WITH d AS (
   FROM r
 ), s AS (
   SELECT doc_id, k, rlen,
-         sum(rlen + 1) OVER (PARTITION BY doc_id ORDER BY k
-                             ROWS UNBOUNDED PRECEDING) - rlen - 1 AS span_start
+         (sum(rlen + 1) OVER (PARTITION BY doc_id ORDER BY k
+                              ROWS UNBOUNDED PRECEDING) - rlen - 1)::BIGINT
+           AS span_start
   FROM rr
 )
 SELECT {URL_SQL} AS url, 'r_' || k::VARCHAR AS region_id,
@@ -454,9 +460,9 @@ def q_corpus_stats(sf_dir: str):
 
 SQL_CORPUS_STATS = """
 SELECT count(*) AS n_docs,
-       sum((len(string_split(text, ' ')) + 39) // 40) AS total_regions,
-       sum((len(string_split(text, ' ')) + 7) // 8) AS total_lines,
-       sum(len(string_split(text, ' '))) AS total_words
+       sum((len(string_split(text, ' ')) + 39) // 40)::BIGINT AS total_regions,
+       sum((len(string_split(text, ' ')) + 7) // 8)::BIGINT AS total_lines,
+       sum(len(string_split(text, ' ')))::BIGINT AS total_words
 FROM documents
 """
 
@@ -469,8 +475,8 @@ def q_per_host_stats(sf_dir: str):
 SQL_PER_HOST_STATS = """
 SELECT 'h' || lpad((doc_id % 50)::VARCHAR, 2, '0') || '.example.com' AS host,
        count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS total_words,
-       0 AS n_errors
+       sum(len(string_split(text, ' ')))::BIGINT AS total_words,
+       0::BIGINT AS n_errors
 FROM documents
 GROUP BY host
 """
@@ -484,8 +490,8 @@ def q_top_hosts(sf_dir: str):
 SQL_TOP_HOSTS = """
 SELECT 'h' || lpad((doc_id % 50)::VARCHAR, 2, '0') || '.example.com' AS host,
        count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS total_words,
-       0 AS n_errors
+       sum(len(string_split(text, ' ')))::BIGINT AS total_words,
+       0::BIGINT AS n_errors
 FROM documents
 GROUP BY host
 QUALIFY row_number() OVER (ORDER BY n_docs DESC, host ASC) <= 10
@@ -697,8 +703,8 @@ def q_lineitem_agg(sf_dir: str):
 
 SQL_LINEITEM_AGG = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS sum_qty_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_price_cents,
        count(*) AS n_items
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -996,7 +1002,7 @@ WITH g AS (SELECT unnest(range(2)) AS k)
 SELECT date_trunc('hour', ts) - to_microseconds(k * 3600000000) AS window_start,
        event_type,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
 FROM events, g
 GROUP BY 1, 2
 """
@@ -1106,8 +1112,8 @@ WITH e AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+         (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_seq
   FROM e
 )
 SELECT user_id, session_seq, count(*) AS n_events,
@@ -1143,7 +1149,7 @@ def q_user_totals_stateful(sf_dir: str):
 
 SQL_USER_TOTALS = """
 SELECT user_id, count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
 FROM events GROUP BY user_id
 """
 
@@ -1156,7 +1162,7 @@ SQL_EVENTS_WINDOW = """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
 FROM events
 GROUP BY 1, 2
 """

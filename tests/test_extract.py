@@ -156,3 +156,54 @@ def test_non_pcgts_root_yields_empty_text(mets_bytes):
     assert got["text"] == "" and got["n_regions"] == 0
     assert got["regions"] == []
     assert oracle.Page.from_bytes(mets_bytes).doc_text() == ""
+
+
+def test_int32_overflow_is_malformed_not_fatal():
+    """Pinned semantic (ADVICE r01): integers beyond int32 in Coords
+    points or RegionRefIndexed @index are MALFORMED — null bbox /
+    skipped RO entry — never an ArrowInvalid that kills the batch.
+    (Deliberate divergence from Go strconv.Atoi's int64 range; the
+    declared Arrow schema is int32 and a hostile doc must stay a row.)"""
+    doc = (
+        b'<PcGts><Page>'
+        b'<ReadingOrder><OrderedGroup id="g">'
+        b'<RegionRefIndexed index="3000000000" regionRef="r_big"/>'
+        b'<RegionRefIndexed index="1" regionRef="r_ok"/>'
+        b'</OrderedGroup></ReadingOrder>'
+        b'<TextRegion id="r_big"><TextEquiv><Unicode>BIG</Unicode></TextEquiv>'
+        b'</TextRegion>'
+        b'<TextRegion id="r_ok">'
+        b'<Coords points="3000000000,5 6,-9999999999"/>'
+        b'<TextLine id="tl"><Coords points="1,2 3,4"/>'
+        b'<Word id="w"><Coords points="70000000000,1 2,3"/>'
+        b'<TextEquiv><Unicode>ok</Unicode></TextEquiv></Word>'
+        b'</TextLine>'
+        b'<TextEquiv><Unicode>fine</Unicode></TextEquiv></TextRegion>'
+        b'</Page></PcGts>'
+    )
+    for mode in ("text", "full", "geom"):
+        got = extract.extract_doc(doc, mode=mode)
+        assert got["error"] is None
+        # the oversized RO index is a skipped entry: only r_ok extracts
+        assert got["text"] == "fine"
+    full = extract.extract_doc(doc, mode="geom")
+    in_ro = [r for r in full["regions"] if r["ro_index"] is not None]
+    assert [r["region_id"] for r in in_ro] == ["r_ok"]
+    r = in_ro[0]
+    assert r["bbox"] is None and r["coords"] is None  # oversized coord
+    w = r["lines"][0]["words"][0]
+    assert w["bbox"] is None and w["coords"] is None
+    assert r["lines"][0]["bbox"] == {"x0": 1, "y0": 2, "x1": 3, "y1": 4}
+    # malformed RO entry is kept for first-match semantics
+    bad = [r for r in full["regions"] if r["ro_malformed"]]
+    assert [r["region_id"] for r in bad] == ["r_big"]
+    # oracle agrees on all of it
+    p = oracle.Page.from_bytes(doc)
+    assert p.doc_text() == "fine"
+    assert [r.id() for r in p.regions()] == ["r_ok"]
+    with pytest.raises(oracle.PolygonError):
+        p.regions()[0].polygon()
+    # and the Arrow batch build survives (the original crash site)
+    tbl = pa.table({"url": ["u"], "html": pa.array([doc], pa.binary())})
+    out = extract.extract_batch(tbl, mode="geom")
+    assert out.num_rows == 1 and out.column("error")[0].as_py() is None

@@ -16,7 +16,8 @@ texts = st.text(
     max_size=30,
 ) | st.sampled_from(["ſ", "aͤ", "x\n\t\t\ty", "( 484 )", "&<>\"'"])
 indexes = st.one_of(
-    st.integers(-5, 20).map(str), st.sampled_from(["", "bogus", "1x", "+3", " 2"])
+    st.integers(-5, 20).map(str),
+    st.sampled_from(["", "bogus", "1x", "+3", " 2", "3000000000", "-2147483649"]),
 )
 
 

@@ -53,6 +53,15 @@ def _compare(name, ray_df, sql_df):
     assert sorted(ray_df.columns) == sorted(sql_df.columns), (
         f"{name}: columns {sorted(ray_df.columns)} != {sorted(sql_df.columns)}"
     )
+    # the driver's value-hash is dtype-sensitive (r01: 9 queries failed
+    # on DuckDB decimal128/int32 vs engine int64 with equal values) —
+    # pin exact dtype parity here so that never regresses. Datetimes are
+    # exempt from exact-unit equality (us vs ns resolution).
+    for c in sorted(ray_df.columns):
+        ra, sa = ray_df[c].dtype, sql_df[c].dtype
+        if pd.api.types.is_datetime64_any_dtype(ra) and pd.api.types.is_datetime64_any_dtype(sa):
+            continue
+        assert ra == sa, f"{name}.{c}: dtype {ra} != {sa} (driver hash would differ)"
     a, b = _canon(ray_df), _canon(sql_df)
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
