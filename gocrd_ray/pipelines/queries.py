@@ -903,9 +903,24 @@ FROM events p WHERE p.event_type = 'purchase'
 """
 
 
+def q_dedup_verified(sf_dir: str):
+    """The scale path for near-dup dedup: LSH candidates verified with
+    exact shingle Jaccard via co-partitioned lookup joins — equals the
+    O(n²) oracle whenever LSH recall is 1 at the threshold (true here:
+    every generator dup pair has J ≥ 0.9; miss prob ~1e-22 at r=2,
+    bands=32 — see dedup.verified_jaccard_pairs)."""
+    return dedup.verified_jaccard_pairs(_docs(sf_dir))
+
+
+SQL_DEDUP_VERIFIED = SQL_NGRAM_JACCARD
+
+
 def q_dedup_clusters(sf_dir: str):
-    """Connected components over the exact-Jaccard duplicate pairs."""
-    pairs = dedup.ngram_jaccard_pairs(_docs(sf_dir))
+    """Connected components over near-dup pairs. Consumes the VERIFIED
+    LSH pairs (the composed path is the scale path — r01 verdict #2);
+    the recursive-CTE oracle stays valid because verified == exact
+    all-pairs on this corpus (recall 1, see q_dedup_verified)."""
+    pairs = dedup.verified_jaccard_pairs(_docs(sf_dir))
     return dedup.connected_components(pairs)
 
 
@@ -1302,6 +1317,7 @@ QUERIES = {
     "dedup_url_latest": (q_dedup_url_latest, SQL_DEDUP_URL_LATEST),
     "lang_counts": (q_lang_counts, SQL_LANG_COUNTS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_verified": (q_dedup_verified, SQL_DEDUP_VERIFIED),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "orders_enriched": (q_orders_enriched, SQL_ORDERS_ENRICHED),
     "orders_hash_join": (q_orders_hash_join, SQL_ORDERS_HASH_JOIN),

@@ -78,7 +78,9 @@ def dedup_by_url(pages_ds, policy: str = "first", ts_col: str = "warc_ts"):
 
     policy: "first" (arbitrary-but-deterministic first in group) or
     "latest" (max ts_col — the CC re-crawl semantics: keep the newest
-    capture of each url; ties broken by the later row being kept).
+    capture of each url; ties on ts_col broken deterministically by the
+    smallest content digest, so retries and repeated runs pick the same
+    survivor regardless of shuffle arrival order).
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -87,10 +89,23 @@ def dedup_by_url(pages_ds, policy: str = "first", ts_col: str = "warc_ts"):
         return group.slice(0, 1)
 
     def latest(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group, sort_keys=[(ts_col, "descending")]
-        )
-        return group.take(idx[:1])
+        ts = group.column(ts_col)
+        mx = pc.max(ts)
+        if mx.is_valid:
+            top = group.filter(pc.equal(ts, mx))
+        else:  # every ts null: tie-break over the whole group
+            top = group
+        if top.num_rows == 1:
+            return top
+        key_col = "html" if "html" in top.column_names else "url"
+        vals = top.column(key_col).to_pylist()
+        digs = [
+            hashlib.md5(
+                v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+            ).hexdigest()
+            for v in vals
+        ]
+        return top.take([digs.index(min(digs))])
 
     fn = {"first": first, "latest": latest}[policy]
     return pages_ds.groupby("url").map_groups(fn, batch_format="pyarrow")
@@ -277,6 +292,34 @@ def simhash_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
 # -- exact n-gram Jaccard ----------------------------------------------------
 
 
+def _shingle_strings(text: str, k: int) -> list[str]:
+    """Distinct k-token shingles as sorted strings (the SQL-oracle form:
+    DuckDB counts distinct shingle STRINGS, and a hash collision would
+    silently skew integer inter/uni counts)."""
+    toks = text.split(" ") if text else []
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return sorted({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+
+
+def shingle_sets(ds, *, k: int = 3, id_col: str = "doc_id"):
+    """Per-document distinct-shingle sets as a Dataset (id, sh:list<string>)."""
+
+    def to_sets(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                id_col: pc.cast(batch.column(id_col), pa.int64()),
+                "sh": pa.array(
+                    [_shingle_strings(t or "", k) for t in texts],
+                    pa.list_(pa.string()),
+                ),
+            }
+        )
+
+    return ds.map_batches(to_sets, batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs(ds, *, k: int = 3, min_jaccard: float = 0.5,
                         id_col: str = "doc_id"):
     """Exact k-token-shingle Jaccard over all pairs with J ≥ threshold.
@@ -290,31 +333,9 @@ def ngram_jaccard_pairs(ds, *, k: int = 3, min_jaccard: float = 0.5,
     """
     import ray
 
-    def shingle_strings(text: str) -> list[str]:
-        toks = text.split(" ") if text else []
-        if len(toks) < k:
-            return [" ".join(toks)] if toks else []
-        return sorted({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
-
-    def shingle_sets(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column("text").to_pylist()
-        # raw string shingles (not hashes): the SQL oracle counts distinct
-        # shingle STRINGS, and a crc32 collision would silently skew the
-        # integer inter/uni counts
-        return pa.table(
-            {
-                id_col: pa.array(ids, pa.int64()),
-                "sh": pa.array(
-                    [shingle_strings(t or "") for t in texts],
-                    pa.list_(pa.string()),
-                ),
-            }
-        )
-
     # materialize once: the shingle-set table is both the broadcast side
     # and the iteration side (avoids lazy re-execution)
-    sets_tbl = ds.map_batches(shingle_sets, batch_format="pyarrow").materialize()
+    sets_tbl = shingle_sets(ds, k=k, id_col=id_col).materialize()
     collected = pa.concat_tables([ray.get(r) for r in sets_tbl.to_arrow_refs()])
     by_id = {
         i: frozenset(s)
@@ -349,6 +370,165 @@ def ngram_jaccard_pairs(ds, *, k: int = 3, min_jaccard: float = 0.5,
         )
 
     return sets_tbl.map_batches(pairs, batch_format="pyarrow")
+
+
+def _attach_sets(pairs_ds, sets_ds, *, key_col: str, out_col: str,
+                 id_col: str, n_buckets: int):
+    """Co-partitioned lookup join: append each pair row's shingle set for
+    ``key_col`` as ``out_col``.
+
+    pyarrow's hash join rejects list-typed payload columns, so this is
+    the partitioned-hash-join shape (stages/join.py) done by hand: both
+    sides get ``bucket = crc32(key) % B``, ONE groupby(bucket) shuffle
+    co-locates pair rows with exactly the set rows they reference, and a
+    per-bucket dict lookup attaches the lists. Only pairs + referenced
+    sets move; nothing is broadcast.
+    """
+    pschema = pairs_ds.schema().base_schema
+    pnames = list(pschema.names)
+    sh_type = pa.list_(pa.string())
+    union_schema = pa.schema(
+        list(pschema)
+        + [pa.field("__sh", sh_type), pa.field("__bucket", pa.int32()),
+           pa.field("__side", pa.string())]
+    )
+    out_schema = pa.schema(list(pschema) + [pa.field(out_col, sh_type)])
+
+    def _aligned(b: pa.Table, target: pa.Schema) -> pa.Table:
+        cols = []
+        for f in target:
+            if f.name in b.column_names:
+                cols.append(pc.cast(b.column(f.name), f.type))
+            else:
+                cols.append(pa.nulls(len(b), f.type))
+        return pa.Table.from_arrays(cols, schema=target)
+
+    def bucket_of(col) -> pa.Array:
+        return pa.array(
+            [zlib.crc32(str(v).encode()) % n_buckets for v in col.to_pylist()],
+            pa.int32(),
+        )
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        b = b.append_column("__bucket", bucket_of(b.column(key_col)))
+        b = b.append_column("__side", pa.array(["p"] * len(b), pa.string()))
+        return _aligned(b, union_schema)
+
+    def tag_sets(b: pa.Table) -> pa.Table:
+        t = pa.table({key_col: pc.cast(b.column(id_col), pa.int64()),
+                      "__sh": pc.cast(b.column("sh"), sh_type)})
+        t = t.append_column("__bucket", bucket_of(t.column(key_col)))
+        t = t.append_column("__side", pa.array(["s"] * len(t), pa.string()))
+        return _aligned(t, union_schema)
+
+    both = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+        sets_ds.map_batches(tag_sets, batch_format="pyarrow")
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        smask = pc.equal(group.column("__side"), "s")
+        srows = group.filter(smask)
+        lut = dict(
+            zip(srows.column(key_col).to_pylist(), srows.column("__sh").to_pylist())
+        )
+        prows = group.filter(pc.invert(smask))
+        sh = [lut.get(v) for v in prows.column(key_col).to_pylist()]
+        out = prows.select(pnames).append_column(out_col, pa.array(sh, sh_type))
+        return _aligned(out, out_schema)
+
+    return both.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def verified_jaccard_pairs(ds, *, k: int = 3, num_perm: int = 64,
+                           bands: int = 32, id_col: str = "doc_id",
+                           n_buckets: int = 32, candidates=None,
+                           prefilter: bool = True):
+    """The scale path for near-dup dedup: LSH candidate pairs verified
+    with EXACT shingle Jaccard — same output contract as
+    ``ngram_jaccard_pairs`` (id_a, id_b, inter, uni with
+    2·inter ≥ uni), but no O(n²) scan and no whole-corpus broadcast.
+
+    Stages: (1) ``lsh_candidate_pairs`` (band-bucket groupby of narrow
+    triples); (2) optional semi-join prefilter so only shingle sets of
+    ids that appear in some candidate move any further (candidate ids
+    are the near-dup subset — far smaller than the corpus — and are
+    broadcast as one set via ray.put); (3) two co-partitioned lookup
+    joins (``_attach_sets``) to bring both sides' shingle sets onto
+    each pair; (4) vectorized-per-row exact inter/uni + integer
+    threshold. Every shuffle key is a uniform hash; nothing corpus-sized
+    touches the driver.
+
+    Equality with the exact all-pairs oracle holds when LSH recall is 1
+    at the threshold. With r = num_perm/bands hashes per band, a pair at
+    Jaccard J is missed with probability (1−J^r)^bands — at the default
+    r=2, bands=32 a J=0.9 pair is missed w.p. ~6e-23, so on corpora
+    whose true dups are high-J (any realistic near-dup corpus) the
+    output is bit-equal to ``ngram_jaccard_pairs`` / the SQL oracle;
+    otherwise it is the documented recall-bounded subset.
+    """
+    if candidates is None:
+        candidates = lsh_candidate_pairs(
+            ds, num_perm=num_perm, bands=bands, k=k, id_col=id_col
+        )
+
+    def drop_n(b: pa.Table) -> pa.Table:
+        return b.select(["id_a", "id_b"])
+
+    cand = candidates.map_batches(drop_n, batch_format="pyarrow").materialize()
+    sets = shingle_sets(ds, k=k, id_col=id_col)
+
+    if prefilter:
+        import ray
+
+        ids: set = set()
+        # narrow driver pull: candidate ids only (two int64 columns of
+        # the near-dup subset), never documents or shingle payloads
+        for b in cand.iter_batches(batch_format="pyarrow"):
+            ids.update(b.column("id_a").to_pylist())
+            ids.update(b.column("id_b").to_pylist())
+        ref = ray.put(ids)
+
+        def only_referenced(b: pa.Table) -> pa.Table:
+            keep = ray.get(ref)
+            mask = pa.array([v in keep for v in b.column(id_col).to_pylist()])
+            return b.filter(mask)
+
+        sets = sets.map_batches(only_referenced, batch_format="pyarrow")
+
+    sets = sets.materialize()  # consumed by both attach passes
+    with_a = _attach_sets(cand, sets, key_col="id_a", out_col="sh_a",
+                          id_col=id_col, n_buckets=n_buckets)
+    with_b = _attach_sets(with_a, sets, key_col="id_b", out_col="sh_b",
+                          id_col=id_col, n_buckets=n_buckets)
+
+    def verify(b: pa.Table) -> pa.Table:
+        a_out, b_out, i_out, u_out = [], [], [], []
+        for ia, ib, sa, sb in zip(
+            b.column("id_a").to_pylist(), b.column("id_b").to_pylist(),
+            b.column("sh_a").to_pylist(), b.column("sh_b").to_pylist(),
+        ):
+            if sa is None or sb is None:
+                continue  # dangling candidate id (not in corpus)
+            si, sj = set(sa), set(sb)
+            inter = len(si & sj)
+            uni = len(si) + len(sj) - inter
+            # integer-only threshold (2*inter >= uni ⟺ J >= 0.5), same
+            # as ngram_jaccard_pairs / the SQL oracle
+            if inter > 0 and uni > 0 and 2 * inter >= uni:
+                a_out.append(ia)
+                b_out.append(ib)
+                i_out.append(inter)
+                u_out.append(uni)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+                "inter": pa.array(i_out, pa.int64()),
+                "uni": pa.array(u_out, pa.int64()),
+            }
+        )
+
+    return with_b.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash_candidate_pairs(ds, id_col: str = "doc_id", n_rotations: int = 4,
@@ -426,9 +606,15 @@ def simhash_candidate_pairs(ds, id_col: str = "doc_id", n_rotations: int = 4,
 
 
 def connected_components(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
-                         max_iters: int = 25):
+                         max_iters: int | None = None):
     """Cluster candidate/duplicate pairs into connected components:
     (doc_id, cluster_id) with cluster_id = min doc id in the component.
+
+    Runs to convergence (min-label propagation advances one hop per
+    iteration, so a component of diameter D needs D rounds — long
+    near-dup chains from templated pages are realistic). ``max_iters``
+    is an optional safety valve that RAISES if hit before convergence;
+    it never silently returns partial labels.
 
     Distributed min-label propagation: symmetric edge list → per-node
     min-neighbor-label via groupby, iterated to fixpoint. The label
@@ -459,7 +645,14 @@ def connected_components(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
         r["node"]: min(r["node"], r["min(nbr)"]) for r in lab.take_all()
     }
 
-    for _ in range(max_iters):
+    it = 0
+    while True:
+        it += 1
+        if max_iters is not None and it > max_iters:
+            raise RuntimeError(
+                f"connected_components: no convergence after {max_iters} "
+                "iterations (component diameter exceeds the cap)"
+            )
         ref = ray.put(labels)
 
         def relabel(b: pa.Table) -> pa.Table:

@@ -101,3 +101,84 @@ def test_lsh_shard_decomposition(ray_session):
             k = (r["id_a"], r["id_b"])
             sharded[k] = sharded.get(k, 0) + r["n_buckets"]
     assert sharded == full and full  # same pairs, same total multiplicities
+
+
+def test_verified_pairs_equal_exact_jaccard(ray_session):
+    """The scale path (LSH candidates → co-partitioned exact-Jaccard
+    verification) must reproduce the O(n²) oracle bit-for-bit on a
+    corpus whose dups are high-J (recall ≈ 1 at r=2/bands=32)."""
+    import ray.data
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = sorted(
+        (r["id_a"], r["id_b"], r["inter"], r["uni"])
+        for r in dedup.ngram_jaccard_pairs(docs).take_all()
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["inter"], r["uni"])
+        for r in dedup.verified_jaccard_pairs(docs).take_all()
+    )
+    assert got == exact and exact
+    # prefilter=False (ship-everything fallback) agrees too
+    got_nofilter = sorted(
+        (r["id_a"], r["id_b"], r["inter"], r["uni"])
+        for r in dedup.verified_jaccard_pairs(docs, prefilter=False).take_all()
+    )
+    assert got_nofilter == exact
+
+
+def test_connected_components_long_chain_converges(ray_session):
+    """A 60-node path graph (diameter 59) must fully converge — the old
+    25-iteration silent cap returned wrong labels for such chains — and
+    an explicit too-small cap must raise, never return partial labels."""
+    import pytest
+    import ray.data
+
+    n = 60
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(list(range(n - 1)), pa.int64()),
+                "id_b": pa.array(list(range(1, n)), pa.int64()),
+            }
+        )
+    )
+    out = dedup.connected_components(pairs)
+    assert out.column("cluster_id").to_pylist() == [0] * n
+    pairs2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(list(range(n - 1)), pa.int64()),
+                "id_b": pa.array(list(range(1, n)), pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(RuntimeError, match="no convergence"):
+        dedup.connected_components(pairs2, max_iters=3)
+
+
+def test_dedup_by_url_latest_tie_break_deterministic(ray_session):
+    """Equal warc_ts ties must resolve to the same survivor on every
+    run (smallest content digest), independent of shuffle order."""
+    import datetime
+
+    import ray.data
+
+    ts = datetime.datetime(2026, 1, 1)
+    tbl = pa.table(
+        {
+            "url": ["u"] * 3,
+            "warc_ts": pa.array([ts] * 3, pa.timestamp("us")),
+            "html": pa.array([b"ccc", b"aaa", b"bbb"], pa.binary()),
+        }
+    )
+    import hashlib
+
+    want = min(
+        [b"ccc", b"aaa", b"bbb"], key=lambda v: hashlib.md5(v).hexdigest()
+    )
+    for _ in range(3):
+        out = dedup.dedup_by_url(
+            ray.data.from_arrow(tbl), policy="latest"
+        ).take_all()
+        assert len(out) == 1 and out[0]["html"] == want
