@@ -1254,24 +1254,36 @@ def q_knn_ivf(sf_dir: str):
     return similarity.ivf_topk(_emb(sf_dir), [0, 1, 2, 3, 4], k=10)
 
 
-NEARDUP_SCHEMA = pa.schema(
-    [("id_a", pa.int64()), ("id_b", pa.int64()), ("sim", pa.float64())]
-)
+NEARDUP_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
 
 
 def q_neardup_cosine(sf_dir: str):
-    # random synthetic embeddings never reach real near-dup similarity;
-    # 0.5 exercises the pair kernel with a non-empty result at sf>=0.01.
-    # Returned as a schema-pinned Table: an all-empty Dataset loses its
-    # column schema through to_pandas (observed at sf0.001).
+    # The scale path (hyperplane-LSH buckets + exact-cosine verify, no
+    # corpus broadcast). Random synthetic embeddings never reach real
+    # near-dup similarity; 0.5 exercises the kernel with a non-empty
+    # result at sf>=0.01 (miss prob ≈ 9e-4/pair at r=4, bands=32).
+    # Projected to ids so the SQL mirror is float-free; returned as a
+    # schema-pinned Table because an all-empty Dataset loses its column
+    # schema through to_pandas (observed at sf0.001).
     import ray
 
-    ds = similarity.cosine_neardup_pairs(_emb(sf_dir), threshold=0.5)
-    blocks = [ray.get(r) for r in ds.to_arrow_refs()]
+    ds = similarity.cosine_neardup_pairs_lsh(_emb(sf_dir), threshold=0.5)
+    proj = ds.map_batches(
+        lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+    blocks = [ray.get(r) for r in proj.to_arrow_refs()]
     blocks = [b.cast(NEARDUP_SCHEMA) for b in blocks if b.num_rows] or [
         NEARDUP_SCHEMA.empty_table()
     ]
     return pa.concat_tables(blocks)
+
+
+SQL_NEARDUP_COSINE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= 0.5
+"""
 
 
 def q_find_first_region(sf_dir: str):
@@ -1342,5 +1354,5 @@ QUERIES = {
     "langid": (q_langid, None),
     "fingerprint": (q_fingerprint, None),
     "knn_ivf": (q_knn_ivf, None),
-    "neardup_cosine": (q_neardup_cosine, None),
+    "neardup_cosine": (q_neardup_cosine, SQL_NEARDUP_COSINE),
 }

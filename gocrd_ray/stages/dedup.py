@@ -372,21 +372,23 @@ def ngram_jaccard_pairs(ds, *, k: int = 3, min_jaccard: float = 0.5,
     return sets_tbl.map_batches(pairs, batch_format="pyarrow")
 
 
-def _attach_sets(pairs_ds, sets_ds, *, key_col: str, out_col: str,
-                 id_col: str, n_buckets: int):
-    """Co-partitioned lookup join: append each pair row's shingle set for
-    ``key_col`` as ``out_col``.
+def attach_column_lookup(pairs_ds, lookup_ds, *, key_col: str, out_col: str,
+                         id_col: str, value_col: str, value_type: pa.DataType,
+                         n_buckets: int = 32):
+    """Co-partitioned lookup join: append ``lookup_ds``'s ``value_col``
+    (matched on ``pairs.key_col == lookup.id_col``) as ``out_col``.
 
     pyarrow's hash join rejects list-typed payload columns, so this is
     the partitioned-hash-join shape (stages/join.py) done by hand: both
     sides get ``bucket = crc32(key) % B``, ONE groupby(bucket) shuffle
-    co-locates pair rows with exactly the set rows they reference, and a
-    per-bucket dict lookup attaches the lists. Only pairs + referenced
-    sets move; nothing is broadcast.
+    co-locates pair rows with exactly the lookup rows they reference,
+    and a per-bucket dict lookup attaches the values. Only pairs +
+    referenced values move; nothing is broadcast. Used for shingle sets
+    (list<string>) and embeddings (list<float>).
     """
     pschema = pairs_ds.schema().base_schema
     pnames = list(pschema.names)
-    sh_type = pa.list_(pa.string())
+    sh_type = value_type
     union_schema = pa.schema(
         list(pschema)
         + [pa.field("__sh", sh_type), pa.field("__bucket", pa.int32()),
@@ -416,13 +418,13 @@ def _attach_sets(pairs_ds, sets_ds, *, key_col: str, out_col: str,
 
     def tag_sets(b: pa.Table) -> pa.Table:
         t = pa.table({key_col: pc.cast(b.column(id_col), pa.int64()),
-                      "__sh": pc.cast(b.column("sh"), sh_type)})
+                      "__sh": pc.cast(b.column(value_col), sh_type)})
         t = t.append_column("__bucket", bucket_of(t.column(key_col)))
         t = t.append_column("__side", pa.array(["s"] * len(t), pa.string()))
         return _aligned(t, union_schema)
 
     both = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
-        sets_ds.map_batches(tag_sets, batch_format="pyarrow")
+        lookup_ds.map_batches(tag_sets, batch_format="pyarrow")
     )
 
     def per_bucket(group: pa.Table) -> pa.Table:
@@ -437,6 +439,15 @@ def _attach_sets(pairs_ds, sets_ds, *, key_col: str, out_col: str,
         return _aligned(out, out_schema)
 
     return both.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def _attach_sets(pairs_ds, sets_ds, *, key_col: str, out_col: str,
+                 id_col: str, n_buckets: int):
+    """Shingle-set specialization of ``attach_column_lookup``."""
+    return attach_column_lookup(
+        pairs_ds, sets_ds, key_col=key_col, out_col=out_col, id_col=id_col,
+        value_col="sh", value_type=pa.list_(pa.string()), n_buckets=n_buckets,
+    )
 
 
 def verified_jaccard_pairs(ds, *, k: int = 3, num_perm: int = 64,

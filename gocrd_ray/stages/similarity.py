@@ -59,11 +59,15 @@ class TopKScorer:
         out_q, out_v, out_s = [], [], []
         for qi, qid in enumerate(self.qids):
             row = sims[qi]
-            # local top-k only — global merge happens in the groupby
-            part = np.argpartition(-row, k - 1)[:k]
-            out_q.extend([qid] * len(part))
-            out_v.extend(ids[part].tolist())
-            out_s.extend(row[part].tolist())
+            # local top-k with the ORACLE's tie order (-sim, vec_id):
+            # argpartition keeps an arbitrary subset when ties straddle
+            # the k boundary, which can diverge from the SQL ranking on
+            # duplicate embeddings — lexsort is deterministic (primary
+            # -sim, secondary vec_id asc)
+            order = np.lexsort((ids, -row))[:k]
+            out_q.extend([qid] * len(order))
+            out_v.extend(ids[order].tolist())
+            out_s.extend(row[order].tolist())
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
@@ -175,6 +179,186 @@ def cosine_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id"):
     return mat_parts.map_batches(pairs, batch_format="pyarrow")
 
 
+class HyperplaneSigner:
+    """Actor-pool stage: embeddings → banded random-hyperplane sign
+    keys (Charikar 2002 SRP-LSH, the cosine analog of MinHash bands).
+
+    The Gaussian projection matrix is built once per actor (seeded, so
+    every actor agrees); each batch is one matmul + sign + bit-pack.
+    Emits (band, bkey, id) narrow triples — the ONLY thing the LSH
+    shuffle ever moves.
+    """
+
+    def __init__(self, n_bits: int = 128, bands: int = 32, seed: int = 23,
+                 id_col: str = "vec_id"):
+        assert n_bits % bands == 0
+        self.n_bits = n_bits
+        self.bands = bands
+        self.rows = n_bits // bands
+        self.seed = seed
+        self.id_col = id_col
+        self.g: np.ndarray | None = None  # built on first batch (needs dim)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = _normalize(_emb_matrix(batch))
+        if self.g is None or self.g.shape[1] != x.shape[1]:
+            self.g = np.random.RandomState(self.seed).standard_normal(
+                (self.n_bits, x.shape[1])
+            )
+        bits = (x @ self.g.T) >= 0.0  # (n, n_bits)
+        keys = (
+            bits.reshape(len(x), self.bands, self.rows)
+            * (1 << np.arange(self.rows, dtype=np.int64))
+        ).sum(axis=2)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        n = len(x)
+        return pa.table(
+            {
+                "band": pa.array(
+                    np.repeat(np.arange(self.bands, dtype=np.int32), n)
+                ),
+                "bkey": pa.array(keys.T.reshape(-1).astype(np.int64)),
+                self.id_col: pa.array(np.tile(ids, self.bands)),
+            }
+        )
+
+
+def cosine_neardup_pairs_lsh(
+    ds,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    n_bits: int = 128,
+    bands: int = 32,
+    seed: int = 23,
+    n_buckets: int = 32,
+    prefilter: bool = True,
+):
+    """Scale path for embedding near-dup: random-hyperplane LSH buckets
+    → distinct candidate pairs → EXACT cosine verification via
+    co-partitioned embedding lookups. Same output contract as the
+    broadcast form ``cosine_neardup_pairs`` (id_a < id_b, sim ≥
+    threshold) but nothing corpus-sized is broadcast or driver-held.
+
+    Recall per qualifying pair: with p = 1 − arccos(sim)/π the
+    same-sign probability per hyperplane, a pair survives a band w.p.
+    p^r (r = n_bits/bands) and is missed w.p. (1−p^r)^bands. Defaults
+    r=4, bands=32: miss ≈ 9e-4 at sim 0.5 and ≈ 2e-15 at sim 0.95 —
+    effectively exhaustive at real near-dup thresholds. Raise bands (or
+    n_bits) to push recall at low thresholds.
+
+    Shapes: the band shuffle moves (band:int32, bkey:int64, id) rows;
+    candidate dedup shuffles (id_a, id_b); verification attaches each
+    side's embedding with the bucketed lookup join
+    (dedup.attach_column_lookup) after prefiltering embeddings to
+    candidate ids (candidate ids are the near-dup subset, broadcast as
+    one set).
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from .dedup import attach_column_lookup
+
+    emb_type = pa.list_(pa.float32())
+
+    sigs = ds.map_batches(
+        HyperplaneSigner,
+        fn_constructor_kwargs={
+            "n_bits": n_bits, "bands": bands, "seed": seed, "id_col": id_col
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column(id_col).to_pylist())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table(
+            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64()),
+             "n": pa.array([1] * len(a), pa.int64())}
+        )
+
+    pairs = sigs.groupby(["band", "bkey"]).map_groups(
+        pairs_in_bucket, batch_format="pyarrow"
+    )
+    cand = (
+        pairs.groupby(["id_a", "id_b"])
+        .sum("n")
+        .map_batches(
+            lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+
+    emb = ds.map_batches(
+        lambda b: pa.table(
+            {id_col: pc.cast(b.column(id_col), pa.int64()),
+             "embedding": pc.cast(b.column("embedding"), emb_type)}
+        ),
+        batch_format="pyarrow",
+    )
+    if prefilter:
+        ids: set = set()
+        for b in cand.iter_batches(batch_format="pyarrow"):
+            ids.update(b.column("id_a").to_pylist())
+            ids.update(b.column("id_b").to_pylist())
+        ref = ray.put(ids)
+
+        def only_referenced(b: pa.Table) -> pa.Table:
+            keep = ray.get(ref)
+            mask = pa.array([v in keep for v in b.column(id_col).to_pylist()])
+            return b.filter(mask)
+
+        emb = emb.map_batches(only_referenced, batch_format="pyarrow")
+    emb = emb.materialize()
+
+    with_a = attach_column_lookup(
+        cand, emb, key_col="id_a", out_col="emb_a", id_col=id_col,
+        value_col="embedding", value_type=emb_type, n_buckets=n_buckets,
+    )
+    with_b = attach_column_lookup(
+        with_a, emb, key_col="id_b", out_col="emb_b", id_col=id_col,
+        value_col="embedding", value_type=emb_type, n_buckets=n_buckets,
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        ia = b.column("id_a").to_pylist()
+        ib = b.column("id_b").to_pylist()
+        ea = b.column("emb_a").to_pylist()
+        eb = b.column("emb_b").to_pylist()
+        rows = [
+            (x, y, va, vb)
+            for x, y, va, vb in zip(ia, ib, ea, eb)
+            if va is not None and vb is not None
+        ]
+        if not rows:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        A = _normalize(np.array([r[2] for r in rows], dtype=np.float64))
+        B = _normalize(np.array([r[3] for r in rows], dtype=np.float64))
+        sims = (A * B).sum(axis=1)
+        keep = sims >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(
+                    np.array([r[0] for r in rows], dtype=np.int64)[keep]
+                ),
+                "id_b": pa.array(
+                    np.array([r[1] for r in rows], dtype=np.int64)[keep]
+                ),
+                "sim": pa.array(sims[keep], pa.float64()),
+            }
+        )
+
+    return with_b.map_batches(verify, batch_format="pyarrow")
+
+
 def ivf_topk(
     ds,
     query_ids: list[int],
@@ -210,7 +394,16 @@ def ivf_topk(
 
     bucketed = ds.map_batches(assign, batch_format="pyarrow")
 
-    qtbl = [r for r in ds.take_all() if r[id_col] in set(query_ids)]
+    # fetch ONLY the query vectors: filtered map then take_all of the
+    # handful of matching rows (never the full table on the driver)
+    import pyarrow.compute as pc
+
+    def grab_queries(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(id_col), value_set=pa.array(query_ids))
+        return batch.filter(mask)
+
+    qtbl = ds.map_batches(grab_queries, batch_format="pyarrow").take_all()
+    qtbl = sorted(qtbl, key=lambda r: query_ids.index(r[id_col]))
     qids = [r[id_col] for r in qtbl]
     qmat = _normalize(np.array([r["embedding"] for r in qtbl], dtype=np.float64))
     probe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
@@ -227,11 +420,13 @@ def ivf_topk(
             if not mask.any():
                 continue
             row = qm[qi] @ x[mask].T
+            sub_ids = ids[mask]
             kk = min(k + 1, row.shape[0])
-            part = np.argpartition(-row, kk - 1)[:kk]
-            out_q.extend([qid] * len(part))
-            out_v.extend(ids[mask][part].tolist())
-            out_s.extend(row[part].tolist())
+            # deterministic tie order (-sim, vec_id), as in TopKScorer
+            order = np.lexsort((sub_ids, -row))[:kk]
+            out_q.extend([qid] * len(order))
+            out_v.extend(sub_ids[order].tolist())
+            out_s.extend(row[order].tolist())
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),

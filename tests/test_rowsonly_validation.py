@@ -182,3 +182,28 @@ def test_dedup_by_url_latest_tie_break_deterministic(ray_session):
             ray.data.from_arrow(tbl), policy="latest"
         ).take_all()
         assert len(out) == 1 and out[0]["html"] == want
+
+
+def test_neardup_lsh_equals_broadcast_form(ray_session):
+    """The LSH-bucketed near-dup path (no corpus broadcast) must find
+    the same pairs as the exhaustive broadcast form; sims must agree to
+    float tolerance."""
+    import ray.data
+
+    from gocrd_ray.stages import similarity
+
+    def load():
+        return ray.data.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    want = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in similarity.cosine_neardup_pairs(load(), threshold=0.5).take_all()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in similarity.cosine_neardup_pairs_lsh(load(), threshold=0.5).take_all()
+    }
+    assert want, "corpus must contain at least one qualifying pair"
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
