@@ -163,6 +163,15 @@ def main_single(headline_only: bool = False) -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # parquet-read blocks carry pandas schema metadata, which makes
+    # pa.Schema unhashable — Ray's unify_schemas then logs "Failed to
+    # hash the schemas (for deduplication)" from every groupby reduce.
+    # Benign fallback; silence it so real warnings stay visible.
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
     n_docs = _n_docs()
     headline = run_headline(n_docs)
     queries = {} if headline_only else run_queries()

@@ -18,7 +18,7 @@ import pyarrow.compute as pc
 from .. import pagegen
 from ..oracle import Match, MetsMatch
 from ..sources import manifest as mf
-from ..sources.pages import pages_from_documents
+from ..sources.pages import pages_from_documents, read_parquet_clean
 from ..stages import boilerplate, dedup, explode, join, match, similarity, text_stats, window
 from . import metrics
 from .extract_pipeline import extract_pages
@@ -76,21 +76,21 @@ def _full(sf_dir: str):
 
 
 def _docs(sf_dir: str):
-    import ray.data
+    from ..sources.pages import read_parquet_clean
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return read_parquet_clean(f"{sf_dir}/documents.parquet")
 
 
 def _events(sf_dir: str):
-    import ray.data
+    from ..sources.pages import read_parquet_clean
 
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return read_parquet_clean(f"{sf_dir}/events.parquet")
 
 
 def _emb(sf_dir: str):
-    import ray.data
+    from ..sources.pages import read_parquet_clean
 
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -151,9 +151,9 @@ SELECT {URL_SQL} AS url,
        k AS region_seq,
        {LINEBREAK_SQL.format(col="array_to_string(w[(k*40+1):least((k+1)*40, nw)], ' ')")} AS text,
        (nwr + 7) // 8 AS n_lines,
-       10 AS x0,
+       10::BIGINT AS x0,
        20 + 50 * (k * 5) AS y0,
-       480 AS x1,
+       480::BIGINT AS x1,
        20 + 50 * (k * 5 + (nwr + 7) // 8 - 1) + 40 AS y1
 FROM rr
 """
@@ -190,7 +190,7 @@ SELECT {URL_SQL} AS url,
        i % 5 AS line_seq,
        array_to_string(w[(i*8+1):least((i+1)*8, nw)], ' ') AS text,
        nwl AS n_words,
-       10 AS x0,
+       10::BIGINT AS x0,
        20 + 50 * i AS y0,
        10 + 60 * (nwl - 1) + 50 AS x1,
        20 + 50 * i + 40 AS y1
@@ -241,7 +241,7 @@ def q_html_main_text(sf_dir: str):
     by construction SQL-expressible (pagegen.html_page_from_words)."""
     import ray.data
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     pages = docs.map_batches(
@@ -293,7 +293,7 @@ def q_extract_links(sf_dir: str):
     fully determined by the generator (2 nav + 6 category links/doc)."""
     import ray.data
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     pages = docs.map_batches(
@@ -652,7 +652,7 @@ def q_lineitem_agg(sf_dir: str):
     import numpy as np
     import ray.data
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
@@ -715,7 +715,7 @@ def q_distinct_priorities(sf_dir: str):
     """ds.unique — distinct values of one column (a shuffle)."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderpriority"]
     )
     vals = sorted(ds.unique("o_orderpriority"))
@@ -733,7 +733,7 @@ def q_filtered_read(sf_dir: str):
     import pyarrow.dataset as pads
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_returnflag"],
         filter=pads.field("l_returnflag") == "R",
@@ -803,7 +803,7 @@ def q_orders_enriched(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
     cust = pq.read_table(
@@ -828,10 +828,10 @@ def q_orders_hash_join(sf_dir: str):
     one bucket-keyed shuffle, per-bucket Arrow hash join."""
     import ray.data
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
     out = join.partitioned_hash_join(
@@ -851,10 +851,10 @@ def q_orders_native_join(sf_dir: str):
     Dataset.join — all three join implementations must agree."""
     import ray.data
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
     out = join.native_join(
@@ -882,7 +882,7 @@ def q_events_asof(sf_dir: str):
             )
         return f
 
-    ev = lambda: ray.data.read_parquet(  # noqa: E731
+    ev = lambda: read_parquet_clean(  # noqa: E731
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"],
     )
@@ -917,11 +917,13 @@ SQL_DEDUP_VERIFIED = SQL_NGRAM_JACCARD
 
 def q_dedup_clusters(sf_dir: str):
     """Connected components over near-dup pairs. Consumes the VERIFIED
-    LSH pairs (the composed path is the scale path — r01 verdict #2);
-    the recursive-CTE oracle stays valid because verified == exact
+    LSH pairs (the composed path is the scale path — r01 verdict #2)
+    through the DISTRIBUTED label-propagation loop (labels stay a
+    Dataset; the driver sees one scalar per round — verdict #6); the
+    recursive-CTE oracle stays valid because verified == exact
     all-pairs on this corpus (recall 1, see q_dedup_verified)."""
     pairs = dedup.verified_jaccard_pairs(_docs(sf_dir))
-    return dedup.connected_components(pairs)
+    return dedup.connected_components_distributed(pairs)
 
 
 SQL_DEDUP_CLUSTERS = (
@@ -1072,7 +1074,7 @@ def q_event_quantiles(sf_dir: str):
     import numpy as np
     import ray.data
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     )
 
@@ -1155,7 +1157,7 @@ def q_user_totals_stateful(sf_dir: str):
         )
         return pa.table({"user_id": b.column("user_id"), "cents": c})
 
-    idx = KeyedStateIndex(n_shards=4).consume(
+    idx = KeyedStateIndex(n_shards=4).consume_distributed(
         ev.map_batches(cents, batch_format="pyarrow"), "user_id", "cents"
     )
     snap = idx.snapshot()
@@ -1297,7 +1299,7 @@ def q_find_first_region(sf_dir: str):
 
 
 SQL_FIND_FIRST_REGION = f"""
-SELECT {URL_SQL} AS url, 'r_1' AS region_id, 1 AS ro_index
+SELECT {URL_SQL} AS url, 'r_1' AS region_id, 1::BIGINT AS ro_index
 FROM documents
 WHERE len(string_split(text, ' ')) > 40
 """

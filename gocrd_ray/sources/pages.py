@@ -24,9 +24,25 @@ import ray.data
 from .. import pagegen
 
 
+def strip_schema_metadata(batch: pa.Table) -> pa.Table:
+    """Drop schema-level metadata (zero-copy). Parquet files written via
+    pandas carry a pandas metadata dict that makes pa.Schema UNHASHABLE,
+    so every Ray groupby reduce over such blocks logs "Failed to hash
+    the schemas (for deduplication)" and pays the slow unify path —
+    strip it right after the read."""
+    return batch.replace_schema_metadata(None)
+
+
+def read_parquet_clean(paths, **kwargs) -> ray.data.Dataset:
+    """read_parquet + schema-metadata strip (see strip_schema_metadata)."""
+    return ray.data.read_parquet(paths, **kwargs).map_batches(
+        strip_schema_metadata, batch_format="pyarrow"
+    )
+
+
 def read_pages(paths, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
     """Read a Parquet pages table, pruning to ``columns`` at the read."""
-    return ray.data.read_parquet(paths, columns=columns, **kwargs)
+    return read_parquet_clean(paths, columns=columns, **kwargs)
 
 
 def pages_from_documents(

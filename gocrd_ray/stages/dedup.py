@@ -71,44 +71,72 @@ def add_hash_bucket(ds, col: str = "text", n_buckets: int = 256,
     return ds.map_batches(bucketize, batch_format="pyarrow")
 
 
-def dedup_by_url(pages_ds, policy: str = "first", ts_col: str = "warc_ts"):
+def _dedup_rows_by_url(b: pa.Table, policy: str, ts_col: str) -> pa.Table:
+    """Vectorized one-winner-per-url selection within a table.
+
+    Winner order — "latest": (-ts, digest asc); "first": (digest asc).
+    Deterministic for both policies regardless of row arrival order, so
+    task retries and repeated runs always keep the same survivor.
+    """
+    urls = np.asarray(b.column("url").to_pylist(), dtype=object)
+    digs = np.asarray(b.column("__dig").to_pylist(), dtype=object)
+    if policy == "latest":
+        ts = pc.fill_null(
+            pc.cast(b.column(ts_col), pa.int64()), -(2**63) + 1
+        ).to_numpy(zero_copy_only=False)
+        order = np.lexsort((digs, -ts, urls))
+    else:
+        order = np.lexsort((digs, urls))
+    u_sorted = urls[order]
+    keep = np.ones(len(order), dtype=bool)
+    keep[1:] = u_sorted[1:] != u_sorted[:-1]
+    return b.take(pa.array(order[keep], pa.int64()))
+
+
+def dedup_by_url(pages_ds, policy: str = "first", ts_col: str = "warc_ts",
+                 n_buckets: int = 64):
     """Exact per-url dedup for the pages corpus (SURVEY.md §2.7): one
     row per url — the hash shuffle on `url` is the engine's ONE required
     shuffle for the per-url invariant.
 
-    policy: "first" (arbitrary-but-deterministic first in group) or
-    "latest" (max ts_col — the CC re-crawl semantics: keep the newest
-    capture of each url; ties on ts_col broken deterministically by the
-    smallest content digest, so retries and repeated runs pick the same
-    survivor regardless of shuffle arrival order).
+    Shape (r01 verdict #5): a per-block vectorized pre-dedup COMBINER
+    runs before the shuffle (one candidate per url per block — repeat
+    crawls of a url inside a block never reach the wire), the shuffle
+    key is ``crc32(url) % n_buckets`` rather than the raw url (so the
+    reduce side runs one vectorized selection per BUCKET instead of a
+    Python callback per ~1-row url group), and the winner order is a
+    numpy lexsort, never row-at-a-time Python.
+
+    policy: "first" (deterministic representative: smallest content
+    digest) or "latest" (max ts_col — the CC re-crawl semantics: keep
+    the newest capture of each url; ties on ts_col broken by smallest
+    content digest).
     """
-    import pyarrow as pa
-    import pyarrow.compute as pc
 
-    def first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    def latest(group: pa.Table) -> pa.Table:
-        ts = group.column(ts_col)
-        mx = pc.max(ts)
-        if mx.is_valid:
-            top = group.filter(pc.equal(ts, mx))
-        else:  # every ts null: tie-break over the whole group
-            top = group
-        if top.num_rows == 1:
-            return top
-        key_col = "html" if "html" in top.column_names else "url"
-        vals = top.column(key_col).to_pylist()
+    def add_keys_and_precombine(b: pa.Table) -> pa.Table:
+        src = b.column("html") if "html" in b.column_names else b.column("url")
         digs = [
             hashlib.md5(
                 v if isinstance(v, (bytes, bytearray)) else str(v).encode()
             ).hexdigest()
-            for v in vals
+            for v in src.to_pylist()
         ]
-        return top.take([digs.index(min(digs))])
+        b = b.append_column("__dig", pa.array(digs, pa.string()))
+        b = _dedup_rows_by_url(b, policy, ts_col)
+        bucket = pa.array(
+            [zlib.crc32(u.encode()) % n_buckets
+             for u in b.column("url").to_pylist()],
+            pa.int32(),
+        )
+        return b.append_column("__bucket", bucket)
 
-    fn = {"first": first, "latest": latest}[policy]
-    return pages_ds.groupby("url").map_groups(fn, batch_format="pyarrow")
+    pre = pages_ds.map_batches(add_keys_and_precombine, batch_format="pyarrow")
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        out = _dedup_rows_by_url(group, policy, ts_col)
+        return out.drop_columns(["__dig", "__bucket"])
+
+    return pre.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 # -- shingles / MinHash ------------------------------------------------------
@@ -116,15 +144,29 @@ def dedup_by_url(pages_ds, policy: str = "first", ts_col: str = "warc_ts"):
 _MERSENNE = (1 << 61) - 1
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
+def _shingle_grams(text: str, k: int) -> list[str]:
     toks = text.split(" ") if text else []
     if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(
-        np.array([zlib.crc32(g.encode("utf-8")) for g in grams], dtype=np.uint64)
-    )
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _hash32(values: list[str] | np.ndarray) -> np.ndarray:
+    """Deterministic vectorized 32-bit string hashes (SipHash via
+    pandas.util.hash_array, masked to 32 bits so the (a*x+b) mod
+    Mersenne-61 permutation trick below stays a proper universal
+    hash — products never overflow uint64)."""
+    import pandas as pd
+
+    h = pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
+    return h.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    grams = _shingle_grams(text, k)
+    if not grams:
+        return np.array([], dtype=np.uint64)
+    return np.unique(_hash32(grams))
 
 
 def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -159,13 +201,38 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # batch-vectorized: ONE hash_array call over every shingle of
+        # every document, then a segmented min-reduce per (perm, doc) —
+        # chunked so the (num_perm × grams) working matrix stays ~128MB
         texts = batch.column("text").to_pylist()
-        sigs = [self.signature(t or "") for t in texts]
+        gram_lists = [_shingle_grams(t or "", self.k) for t in texts]
+        sigs = np.zeros((len(texts), self.num_perm), dtype=np.uint64)
+        max_grams = max(1, (16 << 20) // self.num_perm)
+        i = 0
+        while i < len(gram_lists):
+            j = i
+            total = 0
+            while j < len(gram_lists) and (total == 0 or total + len(gram_lists[j]) <= max_grams):
+                total += len(gram_lists[j])
+                j += 1
+            nonempty = [d for d in range(i, j) if gram_lists[d]]
+            if nonempty:
+                flat = np.concatenate(
+                    [np.asarray(gram_lists[d], dtype=object) for d in nonempty]
+                )
+                h = _hash32(flat)
+                vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+                starts = np.cumsum(
+                    [0] + [len(gram_lists[d]) for d in nonempty[:-1]]
+                )
+                mins = np.minimum.reduceat(vals, starts, axis=1)
+                sigs[nonempty, :] = mins.T
+            i = j
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
                 "sig": pa.array(
-                    [s.astype(np.int64).tolist() for s in sigs],
+                    list(sigs.astype(np.int64)),
                     pa.list_(pa.int64(), self.num_perm),
                 ),
             }
@@ -255,32 +322,44 @@ def lsh_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
 
 def simhash_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
     """64-bit SimHash (Charikar 2002 random-hyperplane sketch, as used
-    for web dedup in Manku et al. 2007) over crc32 token hashes →
-    (id, simhash, prefix16).
+    for web dedup in Manku et al. 2007) over 64-bit SipHash token
+    hashes (pandas.util.hash_array, fixed default key — deterministic)
+    → (id, simhash, prefix16).
+
+    Fully vectorized across the batch: ONE hash_array call over every
+    token of every document, one (tokens × 64) bit expansion, and a
+    scatter-add per document — no per-row Python loop (r01 verdict #9;
+    the old per-doc crc32 loop was 10-50x slower).
 
     prefix16 (top 16 bits) is the bucketing key for hamming-neighbor
     search: near-dups collide in at least one of a few rotated prefixes.
     """
-    texts = batch.column("text").to_pylist()
-    out = []
-    for t in texts:
-        toks = (t or "").split(" ")
-        hs = np.array([zlib.crc32(w.encode()) for w in toks if w], dtype=np.uint64)
-        if len(hs) == 0:
-            out.append(0)
-            continue
-        # crc32 is 32-bit; double it up to fill 64 bits deterministically
-        h64 = (hs << np.uint64(32)) | (hs * np.uint64(2654435761) & np.uint64(0xFFFFFFFF))
+    import pandas as pd
+
+    n_docs = len(batch)
+    toks = pc.split_pattern(
+        pc.fill_null(batch.column("text"), ""), " "
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    nonempty = pc.not_equal(flat, "")
+    flat = flat.filter(nonempty)
+    parents = parents.filter(nonempty).to_numpy(zero_copy_only=False)
+    sim_np = np.zeros(n_docs, dtype=np.int64)
+    if len(flat):
+        h64 = pd.util.hash_array(
+            flat.to_numpy(zero_copy_only=False), categorize=False
+        ).astype(np.uint64)
         bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int64
+            np.int32
         )
-        v = (2 * bits - 1).sum(axis=0)
-        sh = np.uint64(0)
-        for i in range(64):
-            if v[i] > 0:
-                sh |= np.uint64(1) << np.uint64(i)
-        out.append(int(sh.astype(np.int64)))  # reinterpret as signed
-    sim = pa.array(out, pa.int64())
+        v = np.zeros((n_docs, 64), dtype=np.int64)
+        np.add.at(v, parents, 2 * bits - 1)
+        weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+        sim_np = ((v > 0) * weights).sum(axis=1, dtype=np.uint64).view(np.int64)
+    sim = pa.array(sim_np, pa.int64())
     prefix = pc.bit_wise_and(
         pc.shift_right(sim, 48), pa.scalar(0xFFFF, pa.int64())
     )
@@ -614,6 +693,149 @@ def simhash_candidate_pairs(ds, id_col: str = "doc_id", n_rotations: int = 4,
         return b.rename_columns(["id_a", "id_b", "hamming"])
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def _sym_edges(pairs_ds, id_a: str, id_b: str):
+    """Symmetric (node, nbr) edge list from directed pairs."""
+
+    def sym(b: pa.Table) -> pa.Table:
+        a, bb = b.column(id_a), b.column(id_b)
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [pc.cast(a, pa.int64()).combine_chunks(),
+                     pc.cast(bb, pa.int64()).combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [pc.cast(bb, pa.int64()).combine_chunks(),
+                     pc.cast(a, pa.int64()).combine_chunks()]
+                ),
+            }
+        )
+
+    return pairs_ds.map_batches(sym, batch_format="pyarrow")
+
+
+def connected_components_distributed(pairs_ds, *, id_a: str = "id_a",
+                                     id_b: str = "id_b",
+                                     max_iters: int | None = None,
+                                     num_partitions: int = 16):
+    """Connected components with the label table kept DISTRIBUTED (the
+    scale form of ``connected_components`` — r01 verdict #6): labels are
+    a Dataset, propagation is a hash-partitioned join per round, and the
+    driver only ever sees one scalar per round.
+
+    Round: (1) join edges(nbr) ⋈ labels(node) to pull each neighbor's
+    label onto the edge, union with the nodes' own labels,
+    groupby(node).min; (2) POINTER DOUBLING — join the stepped labels
+    with themselves (label ⋈ node) so every node jumps straight to its
+    label's label. One-hop propagation alone needs diameter-many rounds
+    (a 10^6-long template chain = 10^6 shuffles); with the doubling
+    step convergence is O(log diameter). Convergence check without
+    materializing differences: labels only ever DECREASE, so
+    sum(label) is unchanged iff no label changed — one scalar
+    aggregate per round. ``max_iters`` raises rather than returning
+    partial labels.
+
+    The propagation join is the explicit bucketed hash join
+    (join.partitioned_hash_join), not Dataset.join: Ray 2.49's native
+    hash-join aggregator raises ArrowInvalid when a right-side hash
+    partition receives only schema-less empty blocks, which iterated
+    small label tables hit routinely.
+
+    Returns a Dataset (doc_id, cluster_id), cluster_id = component min.
+    """
+    from .join import partitioned_hash_join
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+    edges = _sym_edges(pairs_ds, id_a, id_b).materialize()
+    if edges.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def init(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lnode": b.column("node"),
+                "label": pc.min_element_wise(
+                    b.column("node"), b.column("min(nbr)")
+                ),
+            }
+        )
+
+    labels = edges.groupby("node").min("nbr").map_batches(
+        init, batch_format="pyarrow"
+    ).materialize()
+    prev_sum = labels.sum("label")
+
+    it = 0
+    while True:
+        it += 1
+        if max_iters is not None and it > max_iters:
+            raise RuntimeError(
+                f"connected_components_distributed: no convergence after "
+                f"{max_iters} rounds"
+            )
+        prop = partitioned_hash_join(
+            edges, labels, left_key="nbr", right_key="lnode",
+            n_buckets=num_partitions,
+        )
+        contrib = prop.map_batches(
+            lambda b: pa.table(
+                {"node": b.column("node"), "label": b.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
+        own = labels.map_batches(
+            lambda b: pa.table(
+                {"node": b.column("lnode"), "label": b.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
+        stepped = (
+            contrib.union(own)
+            .groupby("node")
+            .min("label")
+            .map_batches(
+                lambda b: pa.table(
+                    {"lnode": b.column("node"), "label": b.column("min(label)")}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        # pointer doubling: label(x) ← label(label(x)). Every label IS a
+        # node of the same component (inner join always matches), and
+        # stepped labels satisfy label(y) <= y, so the jump only ever
+        # lowers — no min needed.
+        as_l2 = stepped.map_batches(
+            lambda b: pa.table(
+                {"l2node": b.column("lnode"), "l2label": b.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
+        shortcut = partitioned_hash_join(
+            stepped, as_l2, left_key="label", right_key="l2node",
+            n_buckets=num_partitions,
+        )
+        labels = shortcut.map_batches(
+            lambda b: pa.table(
+                {"lnode": b.column("lnode"), "label": b.column("l2label")}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("lnode"), "cluster_id": b.column("label")}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def connected_components(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",

@@ -73,8 +73,9 @@ class KeyedStateIndex:
         ]
 
     def consume(self, ds, key_col: str, value_col: str, batch_size: int = 4096):
-        """Stream a Dataset through the index (driver-side iter_batches —
-        the state is the sink, so rows stream once and are dropped)."""
+        """Stream a Dataset through the index via driver-side
+        iter_batches. Demo form — every row passes through one driver
+        process; use ``consume_distributed`` for real volumes."""
         import ray
 
         pending = []
@@ -85,6 +86,41 @@ class KeyedStateIndex:
                 _, pending = ray.wait(pending, num_returns=1)
                 pending = list(pending)
         ray.get(pending)
+        return self
+
+    def consume_distributed(self, ds, key_col: str, value_col: str):
+        """Feed the index from INSIDE map_batches tasks (r01 verdict #7):
+        each task routes its batch's rows straight to the owning shard
+        actors (the handles serialize into the UDF closure) and acks one
+        count row; the driver only drives the count — no row ever
+        funnels through it.
+
+        Each task ray.get()s its shard updates before declaring the
+        batch done, so a completed run has applied every row exactly
+        once. Caveat (inherent to side-effecting maps): a mid-batch TASK
+        RETRY would re-apply that batch's rows — a production deployment
+        folds a per-batch dedup token into ``update`` for idempotency.
+        """
+        import ray
+
+        shards = self.shards
+        n = self.n
+
+        def route(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col).to_pylist()
+            vals = batch.column(value_col).to_pylist()
+            per_shard: dict[int, tuple[list, list]] = {}
+            for k, v in zip(keys, vals):
+                s = per_shard.setdefault(zlib.crc32(str(k).encode()) % n, ([], []))
+                s[0].append(k)
+                s[1].append(v)
+            ray.get(
+                [shards[i].update.remote(ks, vs)
+                 for i, (ks, vs) in per_shard.items()]
+            )
+            return pa.table({"n_rows": pa.array([len(batch)], pa.int64())})
+
+        ds.map_batches(route, batch_format="pyarrow").sum("n_rows")
         return self
 
     def snapshot(self) -> pa.Table:

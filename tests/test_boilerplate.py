@@ -73,3 +73,79 @@ def test_corpus_matches_construction_ground_truth():
     pages = pagegen.html_pages_batch_from_documents(docs)
     out = BoilerplateStripper()(pages)
     assert out["main_text"].to_pylist() == pages["text"].to_pylist()
+
+
+SOUP_CASES = [
+    "<p>unclosed <div><b>mess <p>more text that is long enough ok",
+    "<body><p>  spaced \n\t out &amp; entities &#214; here  </p></body>",
+    "a < b and c > d <p>x</p>",
+    "<script>if (a<b) { document.write('<p>no</p>'); }</script><p>real</p>",
+    "<style>p > a { color: red }</style><p>styled</p>",
+    "<!-- comment <p>not this</p> --><p>yes</p>",
+    "<!DOCTYPE html><?php echo '<p>hi</p>'; ?><p>ok</p>",
+    "<br/><br /><hr/><p>after voids</p>",
+    "<a href='/x'>link</a> <a href=\"/y\">l2</a> <a href=/z>l3</a> <a>none</a>",
+    "<A HREF='/UP'>upper</A>",
+    "<p attr='with > inside'>gt in attr</p>",
+    "<p>truncated <a href='/q",
+    "</><//><p>after bogus</p>",
+    "<p>ampersand & alone &notanentity; &#999999999;</p>",
+    "<script>never closed",
+    "<![CDATA[ raw <p>x</p> ]]><p>after cdata</p>",
+    "<p/>self closed p<p>real block here</p>",
+    "text<>empty tag<p>x</p>",
+    "<p =bare>odd attrs</p>",
+    "<p\nmulti\nline\nattrs='1'>ml</p>",
+    "<b<",
+]
+
+
+def _run_both(text):
+    from gocrd_ray.stages.boilerplate import _BlockParser, _FastBlockScanner
+
+    a = _BlockParser()
+    a.feed(text)
+    a.close()
+    a._flush()
+    b = _FastBlockScanner()
+    b.scan(text)
+    b._flush()
+    return (a.blocks, a.links), (b.blocks, b.links)
+
+
+def test_fast_scanner_parity_soup_cases():
+    """The fast regex tokenizer must reproduce the stdlib HTMLParser's
+    observable behavior (blocks + links) on handcrafted tag soup."""
+    for c in SOUP_CASES:
+        got_std, got_fast = _run_both(c)
+        assert got_fast == got_std, c
+
+
+def test_fast_scanner_parity_random_soup():
+    """Event-level parity is pinned on complete-construct soup (broken
+    nesting, bare angles, bogus end tags, truncated names). Soup with
+    HALF-OPEN QUOTED ATTRIBUTES is deliberately out of contract — real
+    parsers (html.parser vs lxml vs html5lib) all diverge there, and
+    the fast scanner's recovery (swallow to next '>') is the pinned
+    engine semantics for those."""
+    import random
+
+    rng = random.Random(7)
+    toks = [
+        "<p>", "</p>", "<div>", "</div>", "<a href='/x'>", "</a>", "<", ">",
+        "&amp;", "&", "txt ", "<!-- c -->", "<br/>", "<script>", "</script>",
+        "word", " ", "<nav>", "</nav>", "<b", "='q'>", "<!doctype>", "</>",
+        "&#65;", "<![CDATA[x]]>",
+    ]
+    for _ in range(1500):
+        s = "".join(rng.choice(toks) for _ in range(rng.randint(1, 30)))
+        got_std, got_fast = _run_both(s)
+        assert got_fast == got_std, repr(s)
+
+
+def test_fast_scanner_parity_corpus():
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    pages = pagegen.html_pages_batch_from_documents(docs)
+    for h in pages.column("html").to_pylist():
+        got_std, got_fast = _run_both(h.decode("utf-8", errors="replace"))
+        assert got_fast == got_std

@@ -207,3 +207,58 @@ def test_neardup_lsh_equals_broadcast_form(ray_session):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_connected_components_distributed_equals_broadcast(ray_session):
+    """The dataset-resident label-propagation loop must produce exactly
+    the broadcast form's labels, including on a long chain (diameter 19)
+    plus disjoint components, and raise (not truncate) on a tiny cap."""
+    import pytest
+    import ray.data
+
+    def mk():
+        edges = [(i, i + 1) for i in range(19)] + [(100, 101), (101, 103)]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([a for a, _ in edges], pa.int64()),
+                    "id_b": pa.array([b for _, b in edges], pa.int64()),
+                }
+            )
+        )
+
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components(mk()).to_pylist()
+    }
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components_distributed(mk()).take_all()
+    }
+    assert got == want
+    assert {c for _, c in got} == {0, 100}
+    with pytest.raises(RuntimeError, match="no convergence"):
+        dedup.connected_components_distributed(mk(), max_iters=2)
+
+
+def test_keyed_state_distributed_feed_equals_driver_feed(ray_session):
+    """consume_distributed (routing inside map_batches tasks) must land
+    on exactly the same end state as the driver-side iter_batches feed."""
+    import ray.data
+
+    from gocrd_ray.state.keyed import KeyedStateIndex
+
+    def mk():
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([i % 7 for i in range(1000)], pa.int64()),
+                    "v": pa.array(list(range(1000)), pa.int64()),
+                }
+            )
+        ).repartition(8)
+
+    a = KeyedStateIndex(n_shards=3).consume(mk(), "k", "v").snapshot()
+    b = KeyedStateIndex(n_shards=3).consume_distributed(mk(), "k", "v").snapshot()
+    assert a.equals(b)
+    assert a.num_rows == 7
