@@ -152,6 +152,16 @@ def run_queries() -> dict:
 
 
 def main_single(headline_only: bool = False) -> dict:
+    # route the schema-hash fallback warning to the log file instead of
+    # every worker's console (see gocrd_ray/data_logging.yaml); must be
+    # set before ray.init so worker processes inherit it
+    os.environ.setdefault(
+        "RAY_DATA_LOGGING_CONFIG",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "gocrd_ray", "data_logging.yaml",
+        ),
+    )
     import ray
 
     ray.init(
@@ -163,15 +173,6 @@ def main_single(headline_only: bool = False) -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    # parquet-read blocks carry pandas schema metadata, which makes
-    # pa.Schema unhashable — Ray's unify_schemas then logs "Failed to
-    # hash the schemas (for deduplication)" from every groupby reduce.
-    # Benign fallback; silence it so real warnings stay visible.
-    import logging
-
-    logging.getLogger(
-        "ray.data._internal.arrow_ops.transform_pyarrow"
-    ).setLevel(logging.ERROR)
     n_docs = _n_docs()
     headline = run_headline(n_docs)
     queries = {} if headline_only else run_queries()

@@ -14,7 +14,8 @@ import pyarrow.compute as pc
 from ..oracle import PolygonError, bbox, parse_points
 
 __all__ = ["parse_points", "bbox", "PolygonError", "bbox_of_coords_column",
-           "host_of_url", "spans_cover", "span_slice"]
+           "host_of_url", "spans_cover", "span_slice", "url_parts",
+           "canonicalize_urls"]
 
 
 def bbox_of_coords_column(coords: pa.Array) -> pa.Array:
@@ -57,6 +58,58 @@ def host_of_url(urls: pa.Array) -> pa.Array:
     return pc.struct_field(
         pc.extract_regex(urls, r"^[a-z]+://(?P<host>[^/]+)/"), "host"
     )
+
+
+_URL_RE = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#:]+)"
+    r"(?::(?P<port>[0-9]+))?(?P<path>[^?#]*)"
+    r"(?:\?(?P<query>[^#]*))?(?:#(?P<fragment>.*))?$"
+)
+
+
+def url_parts(urls: pa.Array) -> pa.StructArray:
+    """Vectorized URL decomposition: struct<scheme, host, port, path,
+    query, fragment> (one C-regex pass; non-matching rows → null)."""
+    return pc.extract_regex(urls, _URL_RE)
+
+
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+
+
+def canonicalize_urls(urls: pa.Array) -> pa.Array:
+    """Canonical URL form for dedup keys: scheme+host lowercased,
+    default port stripped, fragment dropped, empty path → '/', query
+    parameters sorted ('?b=2&a=1' == '?a=1&b=2'). Rows that don't parse
+    as absolute URLs pass through unchanged (never lose a key).
+
+    Scheme/host/fragment work is vectorized Arrow kernels; only the
+    rare query-string sort is per-row Python.
+    """
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    parts = url_parts(urls)
+    valid = pc.is_valid(parts).to_pylist()
+    rows = parts.to_pylist()
+    out: list = []
+    for i in range(len(urls)):
+        raw = urls[i].as_py()
+        if not valid[i] or raw is None:
+            out.append(raw)
+            continue
+        p = rows[i]
+        scheme = p["scheme"].lower()
+        host = p["host"].lower()
+        port = p["port"]
+        path = p["path"] or "/"
+        query = p["query"]
+        u = scheme + "://" + host
+        if port and port != _DEFAULT_PORTS.get(scheme):
+            u += ":" + port
+        u += path
+        if query:
+            u += "?" + "&".join(sorted(query.split("&")))
+        out.append(u)
+    return pa.array(out, pa.string())
 
 
 def spans_cover(text: str, spans: list[dict]) -> bool:

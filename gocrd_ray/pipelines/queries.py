@@ -1185,6 +1185,103 @@ GROUP BY 1, 2
 """
 
 
+def q_dedup_paragraphs(sf_dir: str):
+    """Paragraph(line)-level exact dedup over the EXTRACTED corpus text:
+    which paragraphs repeat across the corpus, how often, and the
+    first url carrying each — the cross-page boilerplate detector."""
+    ext = extract_pages(pages_from_documents(sf_dir), mode="text")
+    return dedup.paragraph_dedup(ext, text_col="text", id_col="url")
+
+
+SQL_DEDUP_PARAGRAPHS = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS nw
+  FROM documents
+), l AS (
+  SELECT doc_id, w, nw, unnest(range((nw + 7) // 8)) AS i FROM d
+), lt AS (
+  SELECT doc_id,
+         array_to_string(w[(i*8+1):least((i+1)*8, nw)], ' ') AS line
+  FROM l
+)
+SELECT md5(line) AS para_hash, count(*) AS n_occurrences,
+       min({URL_SQL}) AS first_url
+FROM lt GROUP BY md5(line)
+"""
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic reproducible sampling by content hash — the QA /
+    eval-split stage (pure per-row filter, no RNG state, no shuffle)."""
+    pages = pages_from_documents(sf_dir)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(["url", "lang"])
+
+    return dedup.hash_sample(
+        pages.map_batches(proj, batch_format="pyarrow"), col="url"
+    )
+
+
+SQL_HASH_SAMPLE = f"""
+SELECT url, lang
+FROM (SELECT {URL_SQL} AS url, lang FROM documents)
+WHERE substr(md5(url), 1, 8) < '28f5c28f'
+"""
+
+
+def q_url_canon(sf_dir: str):
+    """URL canonicalization kit over a deliberately-messy url column
+    (uppercase scheme/host, default port, unsorted query params,
+    fragment) — ground truth by construction."""
+    from ..functions.scalars import canonicalize_urls
+
+    docs = _docs(sf_dir)
+
+    def messy(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        raw = [
+            f"HTTPS://H{i % 50:02d}.EXAMPLE.COM:443/doc/{i}"
+            f"?b={i % 7}&a={i % 3}#sec"
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "url_canon": canonicalize_urls(pa.array(raw, pa.string())),
+            }
+        )
+
+    return docs.map_batches(messy, batch_format="pyarrow")
+
+
+SQL_URL_CANON = """
+SELECT doc_id,
+       'https://h' || lpad((doc_id % 50)::VARCHAR, 2, '0')
+         || '.example.com/doc/' || doc_id::VARCHAR
+         || '?a=' || (doc_id % 3)::VARCHAR
+         || '&b=' || (doc_id % 7)::VARCHAR AS url_canon
+FROM documents
+"""
+
+
+def q_events_preceding(sf_dir: str):
+    """Per-user banded range join: clicks in the 30 minutes before each
+    purchase (sorted searchsorted per key — no per-row Python)."""
+    return window.preceding_window_count(_events(sf_dir))
+
+
+SQL_EVENTS_PRECEDING = """
+SELECT p.event_id, p.ts, p.user_id,
+       (SELECT count(*) FROM events c
+         WHERE c.user_id = p.user_id AND c.event_type = 'click'
+           AND c.ts > p.ts - INTERVAL 30 MINUTE
+           AND c.ts <= p.ts) AS n_preceding
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
 # -- rows-only queries (no faithful ANSI-SQL form) ---------------------------
 
 
@@ -1347,6 +1444,10 @@ QUERIES = {
     "event_quantiles": (q_event_quantiles, SQL_EVENT_QUANTILES),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "top_tokens_per_lang": (q_top_tokens_per_lang, SQL_TOP_TOKENS_PER_LANG),
+    "dedup_paragraphs": (q_dedup_paragraphs, SQL_DEDUP_PARAGRAPHS),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "url_canon": (q_url_canon, SQL_URL_CANON),
+    "events_preceding": (q_events_preceding, SQL_EVENTS_PRECEDING),
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
     "distinct_tokens_sketch": (q_distinct_tokens, None),

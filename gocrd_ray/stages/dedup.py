@@ -139,6 +139,81 @@ def dedup_by_url(pages_ds, policy: str = "first", ts_col: str = "warc_ts",
     return pre.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def paragraph_dedup(ds, *, text_col: str = "text", id_col: str = "url",
+                    sep: str = "\n"):
+    """Paragraph-level exact dedup across the corpus — the CC pipeline
+    stage that finds boilerplate paragraphs repeated across pages (the
+    line/paragraph-granular sibling of ``exact_dedup``).
+
+    Shape: paragraphs explode vectorized per batch (split + flatten),
+    then a per-batch PARTIAL aggregate (md5(paragraph) → count, min id)
+    combines before the one global groupby — only narrow
+    (hash, count, min-id) partials shuffle, never paragraph text.
+
+    Returns (para_hash, n_occurrences, first_{id_col}).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    out_id = f"first_{id_col}"
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = pc.split_pattern(pc.fill_null(b.column(text_col), ""), sep)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat = pc.list_flatten(texts)
+        parents = pc.list_parent_indices(texts)
+        ids = pc.take(b.column(id_col), parents)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        ids = ids.filter(nonempty)
+        h = pa.array(
+            [hashlib.md5(t.encode("utf-8")).hexdigest() for t in flat.to_pylist()],
+            pa.string(),
+        )
+        t = pa.table({"para_hash": h, "id": ids})
+        part = pa.TableGroupBy(t, "para_hash").aggregate(
+            [("id", "count"), ("id", "min")]
+        )
+        name_map = {"para_hash": "para_hash", "id_count": "n_occurrences",
+                    "id_min": out_id}
+        return part.rename_columns([name_map[c] for c in part.column_names])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("para_hash").aggregate(
+        Sum("n_occurrences"), Min(out_id)
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["para_hash", "n_occurrences", out_id])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def hash_sample(ds, *, col: str = "url", hex_threshold: str = "28f5c28f"):
+    """Deterministic corpus sampling: keep rows whose md5(col) 8-hex
+    prefix sorts below ``hex_threshold`` (rate ≈ int(threshold,16)/16^8).
+
+    The standard reproducible-sample stage for QA / eval splits: pure
+    per-row filter (no shuffle, no RNG state), stable across runs,
+    machines, and partitionings, and exactly mirrorable in SQL
+    (``substr(md5(col),1,8) < threshold``).
+    """
+
+    def keep(b: pa.Table) -> pa.Table:
+        vals = b.column(col).to_pylist()
+        mask = pa.array(
+            [
+                v is not None
+                and hashlib.md5(str(v).encode("utf-8")).hexdigest()[:8]
+                < hex_threshold
+                for v in vals
+            ]
+        )
+        return b.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # -- shingles / MinHash ------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1

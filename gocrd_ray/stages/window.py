@@ -124,6 +124,77 @@ def sessionize(events_ds, gap_minutes: int = 30):
     )
 
 
+def preceding_window_count(
+    events_ds,
+    *,
+    by: str = "user_id",
+    anchor_type: str = "purchase",
+    match_type: str = "click",
+    minutes: int = 30,
+):
+    """Per-key banded range join: for every anchor event, the number of
+    match-type events by the same key in the preceding window
+    (ts − minutes, ts] — the classic "clicks in the last 30 minutes
+    before each purchase" feature.
+
+    Shape: ONE groupby(by) hash shuffle of the pruned event rows; per
+    key both sides sort once and every anchor's count is two
+    np.searchsorted probes — O((a+m)·log m) per key, no per-row Python,
+    no cross-key state (keys partition freely across the cluster).
+
+    Returns (event_id, ts, {by}, n_preceding).
+    """
+    window_us = np.int64(minutes) * 60_000_000
+
+    def prune(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            b.column("event_type"),
+            value_set=pa.array([anchor_type, match_type]),
+        )
+        return b.filter(keep).select(["event_id", "ts", by, "event_type"])
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            (by, pa.int64()),
+            ("n_preceding", pa.int64()),
+        ]
+    )
+
+    def per_key(group: pa.Table) -> pa.Table:
+        et = group.column("event_type")
+        anchors = group.filter(pc.equal(et, anchor_type))
+        if anchors.num_rows == 0:
+            return out_schema.empty_table()
+        a_ts = anchors.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        matches = group.filter(pc.equal(et, match_type))
+        m_ts = np.sort(
+            matches.column("ts").to_numpy(zero_copy_only=False).astype(
+                "datetime64[us]"
+            ).astype(np.int64)
+        )
+        # count of m with a_ts - window < m <= a_ts
+        lo = np.searchsorted(m_ts, a_ts - window_us, side="right")
+        hi = np.searchsorted(m_ts, a_ts, side="right")
+        return pa.table(
+            {
+                "event_id": pc.cast(anchors.column("event_id"), pa.int64()),
+                "ts": anchors.column("ts"),
+                by: pc.cast(anchors.column(by), pa.int64()),
+                "n_preceding": pa.array(hi - lo, pa.int64()),
+            }
+        ).cast(out_schema)
+
+    return (
+        events_ds.map_batches(prune, batch_format="pyarrow")
+        .groupby(by)
+        .map_groups(per_key, batch_format="pyarrow")
+    )
+
+
 def sliding_window(events_ds, *, size_hours: int = 2, step_hours: int = 1):
     """Sliding event-time windows: each event contributes to every
     window [start, start+size) whose step-aligned start covers it —

@@ -1,0 +1,110 @@
+"""Round-2 operator additions: URL kit, hash sampling, paragraph dedup,
+preceding-window range join — edge cases beyond the DuckDB parity gate."""
+
+import datetime
+
+import pyarrow as pa
+
+from gocrd_ray.functions.scalars import canonicalize_urls, url_parts
+from gocrd_ray.stages import dedup, window
+
+
+def test_canonicalize_urls_rules():
+    raw = pa.array(
+        [
+            "HTTPS://EXAMPLE.COM:443/A/b?z=1&a=2#frag",   # default port+sort+frag
+            "http://Host.COM:8080/x",                     # non-default port kept
+            "https://h.com",                              # empty path -> /
+            "ftp://F.NET:21/file",                        # ftp default port
+            "not a url",                                  # passthrough
+            None,                                          # null passthrough
+            "https://ok.com/p?single=1",
+        ],
+        pa.string(),
+    )
+    got = canonicalize_urls(raw).to_pylist()
+    assert got == [
+        "https://example.com/A/b?a=2&z=1",
+        "http://host.com:8080/x",
+        "https://h.com/",
+        "ftp://f.net/file",
+        "not a url",
+        None,
+        "https://ok.com/p?single=1",
+    ]
+
+
+def test_url_parts_fields():
+    p = url_parts(pa.array(["https://h.com:81/p/q?x=1#f"])).to_pylist()[0]
+    assert p == {
+        "scheme": "https", "host": "h.com", "port": "81",
+        "path": "/p/q", "query": "x=1", "fragment": "f",
+    }
+
+
+def test_hash_sample_deterministic_and_partition_free(ray_session):
+    import ray.data
+
+    tbl = pa.table({"url": [f"u{i}" for i in range(2000)]})
+    a = set(
+        r["url"]
+        for r in dedup.hash_sample(ray.data.from_arrow(tbl)).take_all()
+    )
+    b = set(
+        r["url"]
+        for r in dedup.hash_sample(
+            ray.data.from_arrow(tbl).repartition(7)
+        ).take_all()
+    )
+    assert a == b and 0 < len(a) < 2000
+    # ~16% expected at threshold 0x28f5c28f
+    assert 0.10 < len(a) / 2000 < 0.22
+
+
+def test_paragraph_dedup_counts(ray_session):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "url": ["b", "a", "c"],
+            "text": ["common\nuniq1", "common\nuniq2", "common\n\nuniq3"],
+        }
+    )
+    out = {
+        r["para_hash"]: (r["n_occurrences"], r["first_url"])
+        for r in dedup.paragraph_dedup(ray.data.from_arrow(tbl)).take_all()
+    }
+    import hashlib
+
+    h = hashlib.md5(b"common").hexdigest()
+    assert out[h] == (3, "a")  # min url wins; empty paragraph dropped
+    assert len(out) == 4
+
+
+def test_preceding_window_count_boundaries(ray_session):
+    import ray.data
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        # user 1: purchase at 12:30; clicks at 12:00 (excluded: == ts-30m),
+        # 12:00:00.000001.. inside, 12:30 (included: == ts), 12:31 (after)
+        (1, t0 + 30 * m, "purchase"),
+        (2, t0, "click"),
+        (3, t0 + m, "click"),
+        (4, t0 + 30 * m, "click"),
+        (5, t0 + 31 * m, "click"),
+        # other user's clicks never count
+        (6, t0 + 29 * m, "click"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+            "event_type": [r[2] for r in rows],
+        }
+    )
+    out = window.preceding_window_count(ray.data.from_arrow(tbl)).take_all()
+    assert len(out) == 1
+    assert out[0]["event_id"] == 1 and out[0]["n_preceding"] == 2
