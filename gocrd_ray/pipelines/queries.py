@@ -1282,6 +1282,130 @@ FROM events p WHERE p.event_type = 'purchase'
 """
 
 
+def q_image_meta(sf_dir: str):
+    """REAL image decode over a deterministic synthetic corpus: each
+    doc becomes a constant-color image — even ids binary PPM, odd ids
+    uncompressed BMP — so width/height/channel-means are exactly
+    SQL-expressible while the decode kernels (both codecs), the resize
+    and the feature extraction actually run."""
+    import numpy as np
+
+    from ..stages import multimodal as mm
+
+    docs = _docs(sf_dir)
+
+    def gen(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        payloads = []
+        for i in ids:
+            w, h = 16 + i % 32, 16 + i % 16
+            color = (i % 256, (i * 7) % 256, (i * 13) % 256)
+            arr = np.full((h, w, 3), color, dtype=np.uint8)
+            payloads.append(
+                mm.encode_ppm(arr) if i % 2 == 0 else mm.encode_bmp(arr)
+            )
+        return pa.table(
+            {
+                "media_id": pa.array([str(i) for i in ids], pa.string()),
+                "kind": pa.array(["image"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "mime_type": pa.array(
+                    ["image/x-portable-pixmap" if i % 2 == 0 else "image/bmp"
+                     for i in ids],
+                    pa.string(),
+                ),
+            }
+        )
+
+    media = docs.map_batches(gen, batch_format="pyarrow")
+    feats = mm.decode_images_real(media)
+
+    def proj(b: pa.Table) -> pa.Table:
+        # constant-color images: float means are exact integers
+        return pa.table(
+            {
+                "media_id": b.column("media_id"),
+                "width": b.column("width"),
+                "height": b.column("height"),
+                "channels": b.column("channels"),
+                "mean_r": pc.cast(pc.round(b.column("mean_r")), pa.int64()),
+                "mean_g": pc.cast(pc.round(b.column("mean_g")), pa.int64()),
+                "mean_b": pc.cast(pc.round(b.column("mean_b")), pa.int64()),
+            }
+        )
+
+    return feats.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_IMAGE_META = """
+SELECT doc_id::VARCHAR AS media_id,
+       (16 + doc_id % 32)::BIGINT AS width,
+       (16 + doc_id % 16)::BIGINT AS height,
+       3::BIGINT AS channels,
+       (doc_id % 256)::BIGINT AS mean_r,
+       ((doc_id * 7) % 256)::BIGINT AS mean_g,
+       ((doc_id * 13) % 256)::BIGINT AS mean_b
+FROM documents
+"""
+
+
+def q_audio_meta(sf_dir: str):
+    """REAL PCM-WAV decode (stdlib wave + numpy FFT features) over
+    deterministic sine-wave clips; the integer metadata is
+    SQL-expressible by construction, the spectral features are pinned
+    in pytest."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from ..stages import multimodal as mm
+
+    docs = _docs(sf_dir)
+    RATE = 8000
+
+    def gen(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        payloads = []
+        for i in ids:
+            n = 400 + (i % 50) * 8
+            t = np.arange(n, dtype=np.float64)
+            freq = 200.0 + (i % 10) * 50.0
+            x = (np.sin(2 * np.pi * freq * t / RATE) * 12000).astype(np.int16)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(RATE)
+                wf.writeframes(x.tobytes())
+            payloads.append(buf.getvalue())
+        return pa.table(
+            {
+                "media_id": pa.array([str(i) for i in ids], pa.string()),
+                "kind": pa.array(["audio"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "mime_type": pa.array(["audio/wav"] * len(ids), pa.string()),
+            }
+        )
+
+    media = docs.map_batches(gen, batch_format="pyarrow")
+    feats = mm.featurize_wav(media)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(["media_id", "n_samples", "sample_rate", "duration_ms"])
+
+    return feats.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_AUDIO_META = """
+SELECT doc_id::VARCHAR AS media_id,
+       (400 + (doc_id % 50) * 8)::BIGINT AS n_samples,
+       8000::BIGINT AS sample_rate,
+       ((400 + (doc_id % 50) * 8) * 1000 // 8000)::BIGINT AS duration_ms
+FROM documents
+"""
+
+
 # -- rows-only queries (no faithful ANSI-SQL form) ---------------------------
 
 
@@ -1448,6 +1572,8 @@ QUERIES = {
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "url_canon": (q_url_canon, SQL_URL_CANON),
     "events_preceding": (q_events_preceding, SQL_EVENTS_PRECEDING),
+    "image_meta": (q_image_meta, SQL_IMAGE_META),
+    "audio_meta": (q_audio_meta, SQL_AUDIO_META),
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
     "distinct_tokens_sketch": (q_distinct_tokens, None),

@@ -106,3 +106,100 @@ def test_pdf_layout_stub(ray_session):
     assert out == again
     with pytest.raises(Exception):
         pdf_layout.StrictPdfLayoutParser()._parse(b"x")
+
+
+def test_ppm_bmp_roundtrip():
+    import numpy as np
+
+    from gocrd_ray.stages import multimodal as mm
+
+    rng = np.random.RandomState(3)
+    for h, w in [(1, 1), (5, 7), (16, 33), (9, 2)]:
+        arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (mm.decode_ppm(mm.encode_ppm(arr)) == arr).all()
+        assert (mm.decode_bmp(mm.encode_bmp(arr)) == arr).all()
+
+
+def test_ppm_comment_header_and_pgm():
+    import numpy as np
+
+    from gocrd_ray.stages import multimodal as mm
+
+    data = b"P6\n# a comment\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    assert mm.decode_ppm(data).tolist() == [[[1, 2, 3], [4, 5, 6]]]
+    gray = b"P5\n2 2\n255\n" + bytes([10, 20, 30, 40])
+    assert mm.decode_ppm(gray).shape == (2, 2, 1)
+
+
+def test_resize_nearest_exact():
+    import numpy as np
+
+    from gocrd_ray.stages import multimodal as mm
+
+    arr = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    small = mm.resize_nearest(arr, 2, 2)
+    assert small[:, :, 0].tolist() == [[0, 2], [8, 10]]
+    big = mm.resize_nearest(arr, 8, 8)
+    assert big.shape == (8, 8, 1)
+
+
+def test_real_image_decoder_poison_payloads():
+    from gocrd_ray.stages import multimodal as mm
+
+    batch = pa.table(
+        {
+            "media_id": ["ok", "jpeg", "trunc", "empty"],
+            "payload": pa.array(
+                [
+                    mm.encode_ppm(__import__("numpy").full((2, 2, 3), 9, dtype="uint8")),
+                    b"\xff\xd8\xff\xe0 fake jpeg",
+                    b"P6\n100 100\n255\nshort",
+                    b"",
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    out = mm.RealImageDecoder()(batch)
+    rows = {r["media_id"]: r for r in out.to_pylist()}
+    assert rows["ok"]["error"] is None and rows["ok"]["width"] == 2
+    assert rows["ok"]["mean_r"] == 9.0
+    assert rows["jpeg"]["error"] is not None
+    assert rows["trunc"]["error"] is not None
+    assert rows["empty"]["error"] is not None
+
+
+def test_wav_featurizer_sine():
+    import io
+    import wave
+
+    import numpy as np
+
+    from gocrd_ray.stages import multimodal as mm
+
+    rate, n, freq = 8000, 8000, 440.0
+    t = np.arange(n)
+    x = (np.sin(2 * np.pi * freq * t / rate) * 16000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(x.tobytes())
+    batch = pa.table(
+        {"media_id": ["s", "bad"],
+         "payload": pa.array([buf.getvalue(), b"not a wav"], pa.binary())}
+    )
+    out = {r["media_id"]: r for r in mm.WavFeaturizer()(batch).to_pylist()}
+    s = out["s"]
+    assert s["error"] is None
+    assert s["n_samples"] == n and s["duration_ms"] == 1000
+    assert abs(s["rms"] - 16000 / 2 ** 0.5) < 100  # sine RMS = A/sqrt(2)
+    # 440 Hz of 4000 Hz Nyquist → band index 1 of 16 dominates
+    spec = s["spectrum"]
+    assert spec.index(max(spec)) == 1
+    # 880 sign changes per second, minus the 80 samples landing exactly
+    # on zero (440/8000 = 11/200 → every 100th sample; x*x_next == 0 is
+    # not < 0), = 800
+    assert s["zero_crossings"] == 800
+    assert out["bad"]["error"] is not None
