@@ -1406,6 +1406,27 @@ FROM documents
 """
 
 
+def q_common_tokens(sf_dir: str):
+    """Corpus-statistics quality signal: per-doc count of tokens from
+    the corpus's frequent vocabulary (Zipf head broadcast once)."""
+    return text_stats.common_token_stats(_docs(sf_dir), min_freq=50)
+
+
+SQL_COMMON_TOKENS = """
+WITH tf AS (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+)
+SELECT doc_id, count(*) AS n_tokens,
+       sum(CASE WHEN tf.n >= 50 THEN 1 ELSE 0 END)::BIGINT AS n_common
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents) dt
+JOIN tf USING (token)
+GROUP BY doc_id
+"""
+
+
 # -- rows-only queries (no faithful ANSI-SQL form) ---------------------------
 
 
@@ -1574,6 +1595,7 @@ QUERIES = {
     "events_preceding": (q_events_preceding, SQL_EVENTS_PRECEDING),
     "image_meta": (q_image_meta, SQL_IMAGE_META),
     "audio_meta": (q_audio_meta, SQL_AUDIO_META),
+    "common_tokens": (q_common_tokens, SQL_COMMON_TOKENS),
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
     "distinct_tokens_sketch": (q_distinct_tokens, None),

@@ -392,6 +392,38 @@ def lsh_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def lsh_candidate_pairs_merged(ds, *, n_shards: int = 4, num_perm: int = 64,
+                               bands: int = 16, k: int = 3,
+                               id_col: str = "doc_id"):
+    """Hierarchical LSH (ROADMAP item 3 — the 10^12-doc job shape): run
+    each bucket-key shard as an INDEPENDENT sub-job and merge by
+    summing band multiplicities per pair.
+
+    Bucket keys are uniform hashes, so ``bkey % n_shards == s`` slices
+    the band table into disjoint sub-jobs that can run as separate
+    driver submissions, checkpoint separately, and retry independently;
+    a pair's band collisions partition across shards, so the merge —
+    one narrow groupby(id_a, id_b).sum — reproduces the single-job
+    result EXACTLY (pinned by test). Here the shards run inside one
+    Dataset plan; at deployment scale each shard writes its pair table
+    and the merge reads them back.
+    """
+    parts = [
+        lsh_candidate_pairs(
+            ds, num_perm=num_perm, bands=bands, k=k, id_col=id_col,
+            shard=s, n_shards=n_shards,
+        )
+        for s in range(n_shards)
+    ]
+    merged = parts[0].union(*parts[1:])
+    agg = merged.groupby(["id_a", "id_b"]).sum("n_buckets")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["id_a", "id_b", "n_buckets"])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
 # -- SimHash -----------------------------------------------------------------
 
 

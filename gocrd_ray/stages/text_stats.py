@@ -206,3 +206,61 @@ def fingerprint_batch(
             "fp_xor": pa.array(fp_xor, pa.int64()),
         }
     )
+
+
+def common_token_stats(ds, *, min_freq: int = 50, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """Corpus-statistics quality signal: per document, how many of its
+    tokens belong to the corpus's FREQUENT vocabulary (corpus frequency
+    >= min_freq) — the data-driven analog of a fixed stopword ratio.
+
+    Two phases, both scale-shaped: (1) token corpus frequencies via
+    per-batch partial counts combined by one narrow groupby; (2) the
+    frequent set — the Zipf HEAD, small by construction, unlike the
+    rare tail — is broadcast once via ray.put and each batch counts
+    membership with one vectorized is_in. Nothing document-shaped
+    shuffles.
+
+    Returns (id_col, n_tokens, n_common).
+    """
+    import ray
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(pc.fill_null(b.column(text_col), ""), " "))
+        t = pa.table({"token": toks})
+        part = pa.TableGroupBy(t, "token").aggregate([("token", "count")])
+        name_map = {"token": "token", "token_count": "n"}
+        return part.rename_columns([name_map[c] for c in part.column_names])
+
+    counts = ds.map_batches(partial, batch_format="pyarrow").groupby("token").sum("n")
+
+    def keep_frequent(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["token", "n"])
+        return b.filter(pc.greater_equal(b.column("n"), min_freq)).select(["token"])
+
+    frequent = counts.map_batches(keep_frequent, batch_format="pyarrow").take_all()
+    common_ref = ray.put(pa.array(sorted(r["token"] for r in frequent), pa.string()))
+
+    def score(b: pa.Table) -> pa.Table:
+        common = ray.get(common_ref)
+        toks = pc.split_pattern(pc.fill_null(b.column(text_col), ""), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        hits = pc.is_in(flat, value_set=common).to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        n_common = np.zeros(len(b), dtype=np.int64)
+        np.add.at(n_common, parents, hits.astype(np.int64))
+        return pa.table(
+            {
+                id_col: pc.cast(b.column(id_col), pa.int64()),
+                "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+                "n_common": pa.array(n_common, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

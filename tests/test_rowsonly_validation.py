@@ -262,3 +262,22 @@ def test_keyed_state_distributed_feed_equals_driver_feed(ray_session):
     b = KeyedStateIndex(n_shards=3).consume_distributed(mk(), "k", "v").snapshot()
     assert a.equals(b)
     assert a.num_rows == 7
+
+
+def test_lsh_merged_equals_single_job(ray_session):
+    """The hierarchical shard-merge composition must reproduce the
+    single-job LSH pair table exactly (pairs AND multiplicities)."""
+    import ray.data
+
+    def load():
+        return ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    full = {
+        (r["id_a"], r["id_b"]): r["n_buckets"]
+        for r in dedup.lsh_candidate_pairs(load()).take_all()
+    }
+    merged = {
+        (r["id_a"], r["id_b"]): r["n_buckets"]
+        for r in dedup.lsh_candidate_pairs_merged(load(), n_shards=3).take_all()
+    }
+    assert merged == full and full
