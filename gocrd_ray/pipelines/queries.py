@@ -1427,6 +1427,58 @@ GROUP BY doc_id
 """
 
 
+def q_pdf_text(sf_dir: str):
+    """REAL PDF text extraction (object scan → FlateDecode → content-
+    stream text operators) over deterministic generated PDFs — pages
+    and text SQL-expressible by construction; odd ids exercise the
+    compressed-stream path."""
+    from ..stages import pdf_layout as pl
+
+    docs = _docs(sf_dir)
+
+    def gen(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        payloads = []
+        for i in ids:
+            pages = [
+                [(72.0, 700.0 - 20 * p, f"doc {i} page {p}")]
+                for p in range(1 + i % 3)
+            ]
+            payloads.append(pl.encode_simple_pdf(pages, compress=i % 2 == 1))
+        return pa.table(
+            {
+                "url": pa.array([str(i) for i in ids], pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = docs.map_batches(gen, batch_format="pyarrow")
+    out = pl.parse_pdfs(media, batch_size=256, engine="real")
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "n_pages": pc.cast(b.column("n_pages"), pa.int64()),
+                "text": b.column("text"),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_PDF_TEXT = """
+WITH p AS (
+  SELECT doc_id, unnest(range(1 + doc_id % 3)) AS pg FROM documents
+)
+SELECT doc_id::VARCHAR AS url,
+       (1 + doc_id % 3)::BIGINT AS n_pages,
+       string_agg('doc ' || doc_id::VARCHAR || ' page ' || pg::VARCHAR,
+                  chr(10) ORDER BY pg) AS text
+FROM p GROUP BY doc_id
+"""
+
+
 # -- rows-only queries (no faithful ANSI-SQL form) ---------------------------
 
 
@@ -1596,6 +1648,7 @@ QUERIES = {
     "image_meta": (q_image_meta, SQL_IMAGE_META),
     "audio_meta": (q_audio_meta, SQL_AUDIO_META),
     "common_tokens": (q_common_tokens, SQL_COMMON_TOKENS),
+    "pdf_text": (q_pdf_text, SQL_PDF_TEXT),
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
     "distinct_tokens_sketch": (q_distinct_tokens, None),

@@ -99,13 +99,52 @@ def test_pdf_layout_stub(ray_session):
     from gocrd_ray.stages.multimodal import media_from_pages
 
     media = media_from_pages(pages_from_documents("/root/testdata/sf0.001"))
-    out = pdf_layout.parse_pdfs(media, batch_size=64).take(10)
+    out = pdf_layout.parse_pdfs(media, batch_size=64, engine="fake").take(10)
     assert all(r["error"] is None and r["n_pages"] >= 1 for r in out)
     # deterministic fake: same payload → same layout
-    again = pdf_layout.parse_pdfs(media, batch_size=64).take(10)
+    again = pdf_layout.parse_pdfs(media, batch_size=64, engine="fake").take(10)
     assert out == again
     with pytest.raises(Exception):
         pdf_layout.StrictPdfLayoutParser()._parse(b"x")
+    # the real parser rejects non-PDF payloads as rows, never crashes
+    real = pdf_layout.parse_pdfs(media, batch_size=64, engine="real").take(10)
+    assert all(r["error"] is not None for r in real)
+
+
+def test_pdf_real_roundtrip_and_operators():
+    from gocrd_ray.stages import pdf_layout as pl
+
+    pages = [
+        [(72, 700, "Hello (world) \\ escaped"), (72, 600, "second block")],
+        [(100, 500, "page two text")],
+    ]
+    for comp in (False, True):  # raw and FlateDecode content streams
+        pdf = pl.encode_simple_pdf(pages, compress=comp)
+        n, blocks = pl.PdfTextParser()._parse(pdf)
+        assert n == 2
+        assert [b["text"] for b in blocks] == [
+            "Hello (world) \\ escaped", "second block", "page two text",
+        ]
+        assert blocks[0]["page_no"] == 0 and blocks[2]["page_no"] == 1
+        assert blocks[0]["x0"] == 72.0 and blocks[0]["y0"] == 700.0
+        assert blocks[0]["y1"] == 712.0  # y + font_size
+
+
+def test_pdf_content_stream_operators():
+    from gocrd_ray.stages import pdf_layout as pl
+
+    # TJ array show, hex string, T* line advance, octal escapes, Tm
+    stream = (
+        b"BT /F1 10 Tf 50 100 Td [(ab) -120 (cd)] TJ ET\n"
+        b"BT 1 0 0 1 30 40 Tm <48495F4A> Tj ET\n"
+        b"BT 10 20 Td (l1) Tj T* (l2) Tj ET\n"
+        b"BT 5 5 Td (oct \\101\\102) Tj ET\n"
+    )
+    blocks = pl.extract_content_text(stream)
+    assert [b["text"] for b in blocks] == ["abcd", "HI_J", "l1\nl2", "oct AB"]
+    assert blocks[1]["x0"] == 30.0 and blocks[1]["y0"] == 40.0
+    l12 = blocks[2]
+    assert l12["y0"] == 20.0 - 1.2 * 10 and l12["y1"] == 20.0 + 10
 
 
 def test_ppm_bmp_roundtrip():
