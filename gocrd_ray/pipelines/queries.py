@@ -1479,6 +1479,52 @@ FROM p GROUP BY doc_id
 """
 
 
+def q_pack_chunks(sf_dir: str):
+    """LM sequence packing: map every document to its chunk range in
+    the doc_id-ordered 512-token stream (distributed ordered prefix
+    sum — ranged partial sums + tiny broadcast offsets)."""
+    return text_stats.pack_chunks(_docs(sf_dir), chunk_tokens=512)
+
+
+SQL_PACK_CHUNKS = """
+WITH c AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          - n_tokens)::BIGINT AS token_start
+  FROM c
+)
+SELECT doc_id, n_tokens, token_start,
+       (token_start // 512)::BIGINT AS start_chunk,
+       (CASE WHEN n_tokens > 0 THEN (token_start + n_tokens - 1) // 512
+             ELSE token_start // 512 END)::BIGINT AS end_chunk
+FROM s
+"""
+
+
+def q_hash_split(sf_dir: str):
+    """Leakage-safe train/val/test assignment by url hash (≈90/5/5)."""
+    pages = pages_from_documents(sf_dir)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(["url"])
+
+    return dedup.hash_split(
+        pages.map_batches(proj, batch_format="pyarrow"), col="url"
+    )
+
+
+SQL_HASH_SPLIT = f"""
+SELECT url,
+       CASE WHEN substr(md5(url), 1, 8) < 'e6666666' THEN 'train'
+            WHEN substr(md5(url), 1, 8) < 'f3333333' THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT {URL_SQL} AS url FROM documents)
+"""
+
+
 # -- rows-only queries (no faithful ANSI-SQL form) ---------------------------
 
 
@@ -1649,6 +1695,8 @@ QUERIES = {
     "audio_meta": (q_audio_meta, SQL_AUDIO_META),
     "common_tokens": (q_common_tokens, SQL_COMMON_TOKENS),
     "pdf_text": (q_pdf_text, SQL_PDF_TEXT),
+    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
     "distinct_tokens_sketch": (q_distinct_tokens, None),

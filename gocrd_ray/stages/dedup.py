@@ -1026,3 +1026,27 @@ def connected_components(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
         }
     )
     return out
+
+
+def hash_split(ds, *, col: str = "url",
+               boundaries: tuple[str, str] = ("e6666666", "f3333333")):
+    """Deterministic train/val/test assignment by content hash: rows
+    split by where md5(col)'s 8-hex prefix falls relative to the two
+    boundaries (defaults ≈ 90/5/5). The standard leakage-safe dataset
+    split: assignment is a pure function of the key — stable across
+    runs, machines, partitionings, and corpus growth (a key added
+    later never moves an existing key's split).
+
+    Appends a ``split`` column (train|val|test).
+    """
+    lo, hi = boundaries
+
+    def assign(b: pa.Table) -> pa.Table:
+        vals = b.column(col).to_pylist()
+        labels = []
+        for v in vals:
+            d = hashlib.md5(str(v).encode("utf-8")).hexdigest()[:8]
+            labels.append("train" if d < lo else ("val" if d < hi else "test"))
+        return b.append_column("split", pa.array(labels, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -264,3 +264,76 @@ def common_token_stats(ds, *, min_freq: int = 50, text_col: str = "text",
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def pack_chunks(ds, *, chunk_tokens: int = 512, text_col: str = "text",
+                id_col: str = "doc_id", range_bucket: int = 64):
+    """LM sequence packing (GPT-style concatenation): the corpus's
+    token stream, ordered by ``id_col``, is cut into fixed-size chunks
+    of ``chunk_tokens``; each document maps to the [start_chunk,
+    end_chunk] range its tokens land in (documents may straddle chunk
+    boundaries).
+
+    The global ordered prefix sum is computed scalably: documents hash
+    into ORDERED ranges (``id // range_bucket``), per-range token sums
+    (one tiny row per range) come back to the driver for the running
+    offsets, the offsets broadcast, and each range computes its local
+    cumulative sum independently — one narrow groupby + one small
+    broadcast, never a global ordered scan.
+
+    Returns (id_col, n_tokens, token_start, start_chunk, end_chunk).
+    """
+    import ray
+
+    def counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(b.column(text_col), ""), " ")
+        return pa.table(
+            {
+                id_col: pc.cast(b.column(id_col), pa.int64()),
+                "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            }
+        )
+
+    cts = ds.map_batches(counts, batch_format="pyarrow")
+
+    def add_range(b: pa.Table) -> pa.Table:
+        rng = pc.divide(b.column(id_col), range_bucket)
+        return b.append_column("rng", pc.cast(rng, pa.int64()))
+
+    ranged = cts.map_batches(add_range, batch_format="pyarrow").materialize()
+
+    # tiny driver table: one (range, token_sum) row per range
+    range_sums = {
+        r["rng"]: r[f"sum(n_tokens)"]
+        for r in ranged.groupby("rng").sum("n_tokens").take_all()
+    }
+    offsets = {}
+    acc = 0
+    for rng in sorted(range_sums):
+        offsets[rng] = acc
+        acc += range_sums[rng]
+    offs_ref = ray.put(offsets)
+
+    def per_range(group: pa.Table) -> pa.Table:
+        offs = ray.get(offs_ref)
+        idx = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
+        g = group.take(idx)
+        n = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        base = offs[g.column("rng")[0].as_py()]
+        ends = base + np.cumsum(n)
+        starts = ends - n
+        # a document's first token is in chunk start//C; its last in
+        # (end-1)//C; empty docs pin both to the current position
+        start_chunk = starts // chunk_tokens
+        end_chunk = np.where(n > 0, (ends - 1) // chunk_tokens, start_chunk)
+        return pa.table(
+            {
+                id_col: g.column(id_col),
+                "n_tokens": g.column("n_tokens"),
+                "token_start": pa.array(starts, pa.int64()),
+                "start_chunk": pa.array(start_chunk, pa.int64()),
+                "end_chunk": pa.array(end_chunk, pa.int64()),
+            }
+        )
+
+    return ranged.groupby("rng").map_groups(per_range, batch_format="pyarrow")

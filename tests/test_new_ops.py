@@ -108,3 +108,58 @@ def test_preceding_window_count_boundaries(ray_session):
     out = window.preceding_window_count(ray.data.from_arrow(tbl)).take_all()
     assert len(out) == 1
     assert out[0]["event_id"] == 1 and out[0]["n_preceding"] == 2
+
+
+def test_pack_chunks_invariants(ray_session):
+    """Packing invariants: token_start strictly follows doc_id order,
+    chunks tile the stream, and results are partition-invariant."""
+    import ray.data
+
+    from gocrd_ray.stages.text_stats import pack_chunks
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(200)), pa.int64()),
+            "text": [" ".join(["w"] * (1 + i % 37)) for i in range(200)],
+        }
+    )
+
+    def run(parts):
+        return sorted(
+            pack_chunks(
+                ray.data.from_arrow(tbl).repartition(parts),
+                chunk_tokens=64, range_bucket=16,
+            ).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+
+    a = run(3)
+    assert run(9) == a  # partition-invariant
+    pos = 0
+    for r in a:
+        assert r["token_start"] == pos
+        assert r["start_chunk"] == pos // 64
+        end = pos + r["n_tokens"]
+        assert r["end_chunk"] == (end - 1) // 64
+        pos = end
+
+
+def test_hash_split_stable_and_complete(ray_session):
+    import ray.data
+
+    from gocrd_ray.stages.dedup import hash_split
+
+    tbl = pa.table({"url": [f"u{i}" for i in range(3000)]})
+    out = hash_split(ray.data.from_arrow(tbl)).take_all()
+    splits = {}
+    for r in out:
+        splits.setdefault(r["split"], set()).add(r["url"])
+    assert set(splits) == {"train", "val", "test"}
+    assert sum(len(v) for v in splits.values()) == 3000
+    # ≈90/5/5 and growth-stable: a key's split never depends on others
+    assert len(splits["train"]) / 3000 > 0.85
+    sub = hash_split(
+        ray.data.from_arrow(pa.table({"url": [f"u{i}" for i in range(100)]}))
+    ).take_all()
+    for r in sub:
+        assert r["url"] in splits[r["split"]]
