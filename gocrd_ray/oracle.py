@@ -152,6 +152,34 @@ def _elem_polygon(elem: ET.Element) -> list[tuple[int, int]]:
     return parse_points(pts)
 
 
+_GO_ESC = {'"': '\\"', "\\": "\\\\", "\a": "\\a", "\b": "\\b",
+           "\f": "\\f", "\n": "\\n", "\r": "\\r", "\t": "\\t", "\v": "\\v"}
+
+
+def _go_quote(s: str) -> str:
+    """Go strconv.Quote / %q semantics (the reference's Match.String
+    formatting, page/page.go:129-131): double-quoted, named escapes for
+    control characters, \\x/\\u/\\U for other non-printables, printable
+    unicode kept verbatim. (Python isprintable stands in for Go
+    unicode.IsPrint — they agree on the ID/text alphabets in scope.)"""
+    out = ['"']
+    for ch in s:
+        if ch in _GO_ESC:
+            out.append(_GO_ESC[ch])
+        elif ch.isprintable() or ch == " ":
+            out.append(ch)
+        else:
+            cp = ord(ch)
+            if cp < 0x80:
+                out.append(f"\\x{cp:02x}")
+            elif cp <= 0xFFFF:
+                out.append(f"\\u{cp:04x}")
+            else:
+                out.append(f"\\U{cp:08x}")
+    out.append('"')
+    return "".join(out)
+
+
 @dataclass
 class Match:
     """page.Match (page/page.go:83-88): empty string = ignore field."""
@@ -161,7 +189,12 @@ class Match:
     word_id: str = ""
 
     def __str__(self) -> str:
-        return f'{{"{self.region_id}","{self.line_id}","{self.word_id}"}}'
+        """Reference format {%q,%q,%q} (page/page.go:129-131)."""
+        return (
+            "{" + ",".join(
+                _go_quote(s) for s in (self.region_id, self.line_id, self.word_id)
+            ) + "}"
+        )
 
 
 class _Node:
@@ -412,7 +445,12 @@ class MetsMatch:
     mime_type: str = ""
 
     def __str__(self) -> str:
-        return f'{{"{self.use}","{self.file_id}","{self.mime_type}"}}'
+        """Reference format {%q,%q,%q} (mets/mets.go:67-69)."""
+        return (
+            "{" + ",".join(
+                _go_quote(s) for s in (self.use, self.file_id, self.mime_type)
+            ) + "}"
+        )
 
 
 @dataclass(frozen=True)

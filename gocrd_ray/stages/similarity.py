@@ -384,6 +384,17 @@ def ivf_topk(
         np.array([r["embedding"] for r in sample], dtype=np.float64)
     )
     centroids = smat[rng.choice(len(smat), size=n_buckets, replace=False)]
+    # k-means-lite: a few Lloyd iterations over the (tiny, driver-held)
+    # sample sharpen the partition vs raw random picks — measurably
+    # better recall at the same n_probe; deterministic (seeded init,
+    # empty clusters keep their previous centroid)
+    for _ in range(5):
+        assign_s = (smat @ centroids.T).argmax(axis=1)
+        for b in range(n_buckets):
+            members = smat[assign_s == b]
+            if len(members):
+                centroids[b] = members.mean(axis=0)
+        centroids = _normalize(centroids)
     cref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:

@@ -176,3 +176,21 @@ def test_separator_regions_excluded(page):
     assert [r.id() for r in page.regions()] == ["r_1_1", "r_2_1", "r_2_2", "r_2_3"]
     _, ok = page.find_region_by_id("r_3")
     assert not ok
+
+
+def test_match_string_go_format():
+    """Match.String parity with the reference's fmt {%q,%q,%q}
+    (page/page.go:129-131, mets/mets.go:67-69) — golden cases verified
+    against Go strconv.Quote semantics."""
+    from gocrd_ray.oracle import Match, MetsMatch
+
+    assert str(Match("r_1", "tl_2", "w_3")) == '{"r_1","tl_2","w_3"}'
+    assert str(Match()) == '{"","",""}'
+    # %q escapes: quote, backslash, control chars; unicode verbatim
+    assert str(Match('a"b', "c\\d", "e\nf")) == '{"a\\"b","c\\\\d","e\\nf"}'
+    assert str(Match("ſtraße", "", "")) == '{"ſtraße","",""}'
+    assert str(Match("\x01", "", "")) == '{"\\x01","",""}'
+    assert (
+        str(MetsMatch("OCR-D-GT-PAGE", "f1", "text/xml"))
+        == '{"OCR-D-GT-PAGE","f1","text/xml"}'
+    )
