@@ -1525,6 +1525,57 @@ FROM (SELECT {URL_SQL} AS url FROM documents)
 """
 
 
+def q_pipeline_pack_train(sf_dir: str):
+    """The training-data prep chain composed end to end in ONE
+    SQL-checked query: extract → quality filter (≥20 words) →
+    leakage-safe train split → LM sequence packing over the surviving
+    documents. Every stage is the scale-shaped operator; the only
+    non-map work is pack_chunks' ranged prefix sum."""
+    ext = extract_pages(pages_from_documents(sf_dir), mode="text")
+
+    def quality(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("n_words"), 20))
+        return b.select(["url", "n_words"])
+
+    filtered = ext.map_batches(quality, batch_format="pyarrow")
+    train = dedup.hash_split(filtered, col="url")
+
+    def keep_train(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("split"), "train"))
+        doc_id = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(b.column("url"), r"/doc/(?P<id>\d+)$"), "id"
+            ),
+            pa.int64(),
+        )
+        return pa.table({"doc_id": doc_id, "n_words": b.column("n_words")})
+
+    docs = train.map_batches(keep_train, batch_format="pyarrow")
+    return text_stats.pack_chunks(
+        docs, chunk_tokens=512, tokens_col="n_words"
+    )
+
+
+SQL_PIPELINE_PACK_TRAIN = f"""
+WITH f AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM (SELECT doc_id, text, {URL_SQL} AS url FROM documents)
+  WHERE len(string_split(text, ' ')) >= 20
+    AND substr(md5(url), 1, 8) < 'e6666666'
+), s AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          - n_tokens)::BIGINT AS token_start
+  FROM f
+)
+SELECT doc_id, n_tokens, token_start,
+       (token_start // 512)::BIGINT AS start_chunk,
+       (CASE WHEN n_tokens > 0 THEN (token_start + n_tokens - 1) // 512
+             ELSE token_start // 512 END)::BIGINT AS end_chunk
+FROM s
+"""
+
+
 # -- rows-only queries (no faithful ANSI-SQL form) ---------------------------
 
 
@@ -1697,6 +1748,7 @@ QUERIES = {
     "pdf_text": (q_pdf_text, SQL_PDF_TEXT),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "pipeline_pack_train": (q_pipeline_pack_train, SQL_PIPELINE_PACK_TRAIN),
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
     "distinct_tokens_sketch": (q_distinct_tokens, None),

@@ -166,3 +166,67 @@ def _sessionize(ds, **cfg):
     from ..stages import window
 
     return window.sessionize(ds, **cfg)
+
+
+@step("hash_sample")
+def _hash_sample(ds, **cfg):
+    from ..stages import dedup
+
+    return dedup.hash_sample(ds, **cfg)
+
+
+@step("hash_split")
+def _hash_split(ds, **cfg):
+    from ..stages import dedup
+
+    return dedup.hash_split(ds, **cfg)
+
+
+@step("paragraph_dedup")
+def _paragraph_dedup(ds, **cfg):
+    from ..stages import dedup
+
+    return dedup.paragraph_dedup(ds, **cfg)
+
+
+@step("verified_neardup_pairs")
+def _verified_neardup_pairs(ds, **cfg):
+    from ..stages import dedup
+
+    return dedup.verified_jaccard_pairs(ds, **cfg)
+
+
+@step("pack_chunks")
+def _pack_chunks(ds, **cfg):
+    from ..stages.text_stats import pack_chunks
+
+    return pack_chunks(ds, **cfg)
+
+
+@step("canonicalize_url")
+def _canonicalize_url(ds, *, col="url"):
+    import pyarrow as pa
+
+    from ..functions.scalars import canonicalize_urls
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.schema.get_field_index(col), col,
+            canonicalize_urls(b.column(col)),
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@step("decode_images")
+def _decode_images(ds, **cfg):
+    from ..stages.multimodal import decode_images_real
+
+    return decode_images_real(ds, **cfg)
+
+
+@step("parse_pdfs")
+def _parse_pdfs(ds, **cfg):
+    from ..stages.pdf_layout import parse_pdfs
+
+    return parse_pdfs(ds, **cfg)

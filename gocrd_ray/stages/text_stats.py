@@ -267,7 +267,8 @@ def common_token_stats(ds, *, min_freq: int = 50, text_col: str = "text",
 
 
 def pack_chunks(ds, *, chunk_tokens: int = 512, text_col: str = "text",
-                id_col: str = "doc_id", range_bucket: int = 64):
+                id_col: str = "doc_id", range_bucket: int = 64,
+                tokens_col: str | None = None):
     """LM sequence packing (GPT-style concatenation): the corpus's
     token stream, ordered by ``id_col``, is cut into fixed-size chunks
     of ``chunk_tokens``; each document maps to the [start_chunk,
@@ -281,16 +282,23 @@ def pack_chunks(ds, *, chunk_tokens: int = 512, text_col: str = "text",
     cumulative sum independently — one narrow groupby + one small
     broadcast, never a global ordered scan.
 
+    ``tokens_col`` short-circuits the tokenize step with a precomputed
+    per-document token count (e.g. the extract stage's n_words).
+
     Returns (id_col, n_tokens, token_start, start_chunk, end_chunk).
     """
     import ray
 
     def counts(b: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(pc.fill_null(b.column(text_col), ""), " ")
+        if tokens_col is not None:
+            n = pc.cast(b.column(tokens_col), pa.int64())
+        else:
+            toks = pc.split_pattern(pc.fill_null(b.column(text_col), ""), " ")
+            n = pc.cast(pc.list_value_length(toks), pa.int64())
         return pa.table(
             {
                 id_col: pc.cast(b.column(id_col), pa.int64()),
-                "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+                "n_tokens": n,
             }
         )
 
