@@ -1576,6 +1576,31 @@ FROM s
 """
 
 
+def q_host_cap(sf_dir: str):
+    """Per-domain page cap (≤5 per host, deterministic by url digest) —
+    the anti-Zipf stage; pre-truncated per batch before the shuffle."""
+    pages = pages_from_documents(sf_dir)
+
+    def with_host(b: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(b.column("url"), r"//(?P<host>[^/]+)/"), "host"
+        )
+        return pa.table({"url": b.column("url"), "host": host})
+
+    hosted = pages.map_batches(with_host, batch_format="pyarrow")
+    return dedup.per_key_cap(hosted, key="host", k=5, order_col="url")
+
+
+SQL_HOST_CAP = f"""
+SELECT url, host FROM (
+  SELECT {URL_SQL} AS url,
+         'h' || lpad((doc_id % 50)::VARCHAR, 2, '0') || '.example.com' AS host
+  FROM documents
+)
+QUALIFY row_number() OVER (PARTITION BY host ORDER BY md5(url)) <= 5
+"""
+
+
 # -- rows-only queries (no faithful ANSI-SQL form) ---------------------------
 
 
@@ -1749,6 +1774,7 @@ QUERIES = {
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "pipeline_pack_train": (q_pipeline_pack_train, SQL_PIPELINE_PACK_TRAIN),
+    "host_cap": (q_host_cap, SQL_HOST_CAP),
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
     "distinct_tokens_sketch": (q_distinct_tokens, None),

@@ -1028,6 +1028,49 @@ def connected_components(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
     return out
 
 
+def per_key_cap(ds, *, key: str = "host", k: int = 5, order_col: str = "url"):
+    """Deterministic per-key row cap — the "at most N pages per domain"
+    stage every CC pipeline runs against Zipf-skewed hosts. Keeps the k
+    rows with the smallest md5(order_col) per key: a pure function of
+    content, so reruns and repartitionings keep the same rows.
+
+    Scale shape: each batch PRE-TRUNCATES to k rows per key (combiner —
+    a 10⁹-page host sends k rows per block, not 10⁹, into the shuffle),
+    then one groupby(key) truncates globally with a vectorized lexsort.
+    """
+
+    def add_dig(b: pa.Table) -> pa.Table:
+        digs = pa.array(
+            [hashlib.md5(str(v).encode("utf-8")).hexdigest()
+             for v in b.column(order_col).to_pylist()],
+            pa.string(),
+        )
+        return b.append_column("__dig", digs)
+
+    def truncate(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b.column(key).to_pylist(), dtype=object)
+        digs = np.asarray(b.column("__dig").to_pylist(), dtype=object)
+        order = np.lexsort((digs, keys))
+        k_sorted = keys[order]
+        # rank within key = position since the key's first sorted row
+        starts = np.zeros(len(order), dtype=np.int64)
+        new_key = np.ones(len(order), dtype=bool)
+        new_key[1:] = k_sorted[1:] != k_sorted[:-1]
+        starts[new_key] = np.arange(len(order))[new_key]
+        run_start = np.maximum.accumulate(starts)
+        rank = np.arange(len(order)) - run_start
+        return b.take(pa.array(order[rank < k], pa.int64()))
+
+    pre = ds.map_batches(
+        lambda b: truncate(add_dig(b)), batch_format="pyarrow"
+    )
+
+    def per_key(group: pa.Table) -> pa.Table:
+        return truncate(group).drop_columns(["__dig"])
+
+    return pre.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
 def hash_split(ds, *, col: str = "url",
                boundaries: tuple[str, str] = ("e6666666", "f3333333")):
     """Deterministic train/val/test assignment by content hash: rows

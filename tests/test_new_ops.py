@@ -163,3 +163,35 @@ def test_hash_split_stable_and_complete(ray_session):
     ).take_all()
     for r in sub:
         assert r["url"] in splits[r["split"]]
+
+
+def test_per_key_cap_partition_invariant(ray_session):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "host": [f"h{i % 3}" for i in range(300)],
+            "url": [f"u{i}" for i in range(300)],
+        }
+    )
+
+    def run(parts):
+        return sorted(
+            (r["host"], r["url"])
+            for r in dedup.per_key_cap(
+                ray.data.from_arrow(tbl).repartition(parts), key="host", k=4
+            ).take_all()
+        )
+
+    a = run(2)
+    assert run(11) == a
+    from collections import Counter
+
+    assert Counter(h for h, _ in a) == {"h0": 4, "h1": 4, "h2": 4}
+    # winners = globally smallest digests per host
+    import hashlib
+
+    for h in ("h0", "h1", "h2"):
+        urls = [f"u{i}" for i in range(300) if f"h{i % 3}" == h]
+        want = sorted(urls, key=lambda u: hashlib.md5(u.encode()).hexdigest())[:4]
+        assert sorted(u for hh, u in a if hh == h) == sorted(want)
