@@ -43,6 +43,12 @@ QUERY_NAMES = [
     "knn_cosine",
     "events_window",
     "sessionize",
+    # round-2 operators
+    "dedup_verified",
+    "neardup_cosine",
+    "pdf_text",
+    "pack_chunks",
+    "host_cap",
 ]
 
 

@@ -1677,15 +1677,34 @@ NEARDUP_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
 
 def q_neardup_cosine(sf_dir: str):
     # The scale path (hyperplane-LSH buckets + exact-cosine verify, no
-    # corpus broadcast). Random synthetic embeddings never reach real
-    # near-dup similarity; 0.5 exercises the kernel with a non-empty
-    # result at sf>=0.01 (miss prob ≈ 9e-4/pair at r=4, bands=32).
-    # Projected to ids so the SQL mirror is float-free; returned as a
-    # schema-pinned Table because an all-empty Dataset loses its column
-    # schema through to_pandas (observed at sf0.001).
+    # corpus broadcast) at a REAL near-dup threshold (0.95 — LSH is a
+    # high-threshold tool; see cosine_neardup_pairs_lsh). Random
+    # synthetic embeddings never reach 0.95, so the corpus is the
+    # embeddings table UNIONed with exact duplicates of vec_id < 20
+    # (new ids +100000) — the qualifying pairs are exactly those dups,
+    # which identical sign patterns catch with recall 1. Projected to
+    # ids so the SQL mirror is float-free; returned as a schema-pinned
+    # Table because an all-empty Dataset loses its column schema
+    # through to_pandas (observed at sf0.001).
     import ray
 
-    ds = similarity.cosine_neardup_pairs_lsh(_emb(sf_dir), threshold=0.5)
+    emb = _emb(sf_dir)
+
+    def dup_some(b: pa.Table) -> pa.Table:
+        sel = b.filter(pc.less(b.column("vec_id"), 20))
+        dup = pa.table(
+            {
+                "vec_id": pc.add(sel.column("vec_id"), 100000),
+                "embedding": sel.column("embedding"),
+            }
+        )
+        base = pa.table(
+            {"vec_id": b.column("vec_id"), "embedding": b.column("embedding")}
+        )
+        return pa.concat_tables([base, dup])
+
+    corpus = emb.map_batches(dup_some, batch_format="pyarrow")
+    ds = similarity.cosine_neardup_pairs_lsh(corpus, threshold=0.95)
     proj = ds.map_batches(
         lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
     )
@@ -1697,10 +1716,15 @@ def q_neardup_cosine(sf_dir: str):
 
 
 SQL_NEARDUP_COSINE = """
+WITH all_e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM all_e a JOIN all_e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-      >= 0.5
+      >= 0.95
 """
 
 

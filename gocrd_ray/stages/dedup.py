@@ -314,6 +314,69 @@ class MinHasher:
         )
 
 
+def _bucket_pairs(buckets_ds, *, band_col: str, key_col: str, id_col: str,
+                  n_groups: int = 256):
+    """(band, key, id) bucket rows → (id_a, id_b, n) candidate pairs,
+    n = number of buckets the pair shares.
+
+    Whole buckets co-locate by a hash of (band, key) into ~n_groups
+    shuffle groups (NOT one group per bucket: mostly-singleton buckets
+    would cost a Python map_groups callback each — measured 160k
+    callbacks at sf0.1). Inside a group everything is vectorized: one
+    lexsort, run detection on the combined bucket key, and a Python
+    loop only over the rare runs that actually collide (the near-dup
+    candidates themselves).
+    """
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        band = b.column(band_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        key = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        combo = key * np.int64(256) + band  # unique per (band, key)
+        shard = (
+            (combo.astype(np.uint64) * np.uint64(2654435761))
+            >> np.uint64(13)
+        ).astype(np.int64) % n_groups
+        return pa.table(
+            {
+                "combo": pa.array(combo, pa.int64()),
+                id_col: pc.cast(b.column(id_col), pa.int64()),
+                "__shard": pa.array(shard, pa.int32()),
+            }
+        )
+
+    sharded = buckets_ds.map_batches(add_shard, batch_format="pyarrow")
+
+    def pairs_in_shard(group: pa.Table) -> pa.Table:
+        combo = group.column("combo").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, combo))
+        c = combo[order]
+        i = ids[order]
+        new = np.ones(len(c), dtype=bool)
+        new[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        lengths = np.diff(np.append(starts, len(c)))
+        a_out: list = []
+        b_out: list = []
+        for s, ln in zip(starts[lengths > 1], lengths[lengths > 1]):
+            members = i[s : s + ln]
+            for x in range(ln):
+                for y in range(x + 1, ln):
+                    a_out.append(members[x])
+                    b_out.append(members[y])
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+                "n": pa.array(np.ones(len(a_out), dtype=np.int64)),
+            }
+        )
+
+    return sharded.groupby("__shard").map_groups(
+        pairs_in_shard, batch_format="pyarrow"
+    )
+
+
 def lsh_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
                         id_col: str = "doc_id", shard: int | None = None,
                         n_shards: int = 1):
@@ -352,18 +415,6 @@ def lsh_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
 
     buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column(id_col).to_pylist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table(
-            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64()),
-             "n": pa.array([1] * len(a), pa.int64())}
-        )
-
     if shard is not None:
         # job-level decomposition (docs/SCALE.md §3): bucket keys are
         # uniform, so restricting to bkey % n_shards == shard yields an
@@ -380,9 +431,8 @@ def lsh_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
 
         buckets = buckets.map_batches(only_shard, batch_format="pyarrow")
 
-    pairs = buckets.groupby(["band", "bkey"]).map_groups(
-        pairs_in_bucket, batch_format="pyarrow"
-    )
+    pairs = _bucket_pairs(buckets, band_col="band", key_col="bkey",
+                          id_col=id_col)
     # collapse duplicate pairs across bands
     agg = pairs.groupby(["id_a", "id_b"]).sum("n")
 
@@ -404,15 +454,23 @@ def lsh_candidate_pairs_merged(ds, *, n_shards: int = 4, num_perm: int = 64,
     driver submissions, checkpoint separately, and retry independently;
     a pair's band collisions partition across shards, so the merge —
     one narrow groupby(id_a, id_b).sum — reproduces the single-job
-    result EXACTLY (pinned by test). Here the shards run inside one
-    Dataset plan; at deployment scale each shard writes its pair table
-    and the merge reads them back.
+    result EXACTLY (pinned by test).
+
+    Each shard runs to COMPLETION before the next starts
+    (materialize() = the in-memory stand-in for the pair-table Parquet
+    checkpoint each sub-job writes at deployment scale; pair tables are
+    tiny next to the corpus). Sequential sub-jobs are also what makes
+    this safe on a small cluster: unioning n live shard pipelines would
+    put n MinHasher actor pools (min 1 CPU each) plus their read tasks
+    into ONE streaming plan, and the pool minimums can reserve every
+    CPU while the tasks that would feed them stay pending — a real
+    deadlock observed at num_cpus=4 with n_shards=3.
     """
     parts = [
         lsh_candidate_pairs(
             ds, num_perm=num_perm, bands=bands, k=k, id_col=id_col,
             shard=s, n_shards=n_shards,
-        )
+        ).materialize()
         for s in range(n_shards)
     ]
     merged = parts[0].union(*parts[1:])
@@ -767,21 +825,55 @@ def simhash_candidate_pairs(ds, id_col: str = "doc_id", n_rotations: int = 4,
 
     buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        sims = group.column("simhash").to_pylist()
-        order = sorted(range(len(ids)), key=lambda i: ids[i])
+    # whole (rot, prefix) buckets co-locate by hashed shard — one
+    # vectorized pass per shard group instead of a Python callback per
+    # mostly-singleton bucket (see _bucket_pairs); hamming verification
+    # runs only inside colliding runs
+    n_groups = 256
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        rot = b.column("rot").to_numpy(zero_copy_only=False).astype(np.int64)
+        pref = b.column("prefix").to_numpy(zero_copy_only=False).astype(np.int64)
+        combo = pref * np.int64(16) + rot
+        shard = (
+            (combo.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(13)
+        ).astype(np.int64) % n_groups
+        return pa.table(
+            {
+                "combo": pa.array(combo, pa.int64()),
+                id_col: b.column(id_col),
+                "simhash": b.column("simhash"),
+                "__shard": pa.array(shard, pa.int32()),
+            }
+        )
+
+    sharded = buckets.map_batches(add_shard, batch_format="pyarrow")
+
+    def pairs_in_shard(group: pa.Table) -> pa.Table:
+        combo = group.column("combo").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        sims = group.column("simhash").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, combo))
+        c, i, s = combo[order], ids[order], sims[order]
+        new = np.ones(len(c), dtype=bool)
+        new[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        lengths = np.diff(np.append(starts, len(c)))
         a_out, b_out, h_out = [], [], []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                if ids[i] == ids[j]:
-                    continue
-                h = bin((sims[i] ^ sims[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
-                if h <= max_hamming:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    h_out.append(h)
+        for st, ln in zip(starts[lengths > 1], lengths[lengths > 1]):
+            mi, ms = i[st : st + ln], s[st : st + ln]
+            for x in range(ln):
+                for y in range(x + 1, ln):
+                    if mi[x] == mi[y]:
+                        continue
+                    h = int(
+                        bin((int(ms[x]) ^ int(ms[y])) & 0xFFFFFFFFFFFFFFFF)
+                        .count("1")
+                    )
+                    if h <= max_hamming:
+                        a_out.append(mi[x])
+                        b_out.append(mi[y])
+                        h_out.append(h)
         return pa.table(
             {
                 "id_a": pa.array(a_out, pa.int64()),
@@ -790,8 +882,8 @@ def simhash_candidate_pairs(ds, id_col: str = "doc_id", n_rotations: int = 4,
             }
         )
 
-    pairs = buckets.groupby(["rot", "prefix"]).map_groups(
-        pairs_in_bucket, batch_format="pyarrow"
+    pairs = sharded.groupby("__shard").map_groups(
+        pairs_in_shard, batch_format="pyarrow"
     )
     # distinct across rotations
     agg = pairs.groupby(["id_a", "id_b"]).min("hamming")

@@ -227,8 +227,8 @@ def cosine_neardup_pairs_lsh(
     ds,
     threshold: float = 0.95,
     id_col: str = "vec_id",
-    n_bits: int = 128,
-    bands: int = 32,
+    n_bits: int = 1024,
+    bands: int = 64,
     seed: int = 23,
     n_buckets: int = 32,
     prefilter: bool = True,
@@ -242,21 +242,26 @@ def cosine_neardup_pairs_lsh(
     Recall per qualifying pair: with p = 1 − arccos(sim)/π the
     same-sign probability per hyperplane, a pair survives a band w.p.
     p^r (r = n_bits/bands) and is missed w.p. (1−p^r)^bands. Defaults
-    r=4, bands=32: miss ≈ 9e-4 at sim 0.5 and ≈ 2e-15 at sim 0.95 —
-    effectively exhaustive at real near-dup thresholds. Raise bands (or
-    n_bits) to push recall at low thresholds.
+    r=16, bands=64: miss ≈ 2.5e-6 at sim 0.95 and ≈ 4e-3 at 0.9 —
+    and identical vectors (exact dups) always collide. r also controls
+    BUCKET SPARSITY: random non-dup pairs share a band w.p. 2^-r, so r
+    must grow ~log2(corpus) to keep buckets O(1) (r=4 measured
+    catastrophically dense at 5k vectors — buckets were corpus/16).
+    LSH is inherently a HIGH-threshold tool: recall at sim 0.5 would
+    need thousands of bands; use the broadcast oracle form at small
+    scale for low thresholds.
 
     Shapes: the band shuffle moves (band:int32, bkey:int64, id) rows;
-    candidate dedup shuffles (id_a, id_b); verification attaches each
-    side's embedding with the bucketed lookup join
-    (dedup.attach_column_lookup) after prefiltering embeddings to
-    candidate ids (candidate ids are the near-dup subset, broadcast as
-    one set).
+    pair emission is the sharded vectorized run scan
+    (dedup._bucket_pairs); verification attaches each side's embedding
+    with the bucketed lookup join (dedup.attach_column_lookup) after
+    prefiltering embeddings to candidate ids (the near-dup subset,
+    broadcast as one set).
     """
     import ray
     import pyarrow.compute as pc
 
-    from .dedup import attach_column_lookup
+    from .dedup import _bucket_pairs, attach_column_lookup
 
     emb_type = pa.list_(pa.float32())
 
@@ -269,21 +274,8 @@ def cosine_neardup_pairs_lsh(
         concurrency=(1, 4),
     )
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column(id_col).to_pylist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table(
-            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64()),
-             "n": pa.array([1] * len(a), pa.int64())}
-        )
-
-    pairs = sigs.groupby(["band", "bkey"]).map_groups(
-        pairs_in_bucket, batch_format="pyarrow"
-    )
+    pairs = _bucket_pairs(sigs, band_col="band", key_col="bkey",
+                          id_col=id_col)
     cand = (
         pairs.groupby(["id_a", "id_b"])
         .sum("n")

