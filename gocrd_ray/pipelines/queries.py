@@ -1745,6 +1745,115 @@ WHERE len(string_split(text, ' ')) > 40
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (n-gram-overlap hygiene as in GPT-3,
+    Brown et al. 2020 §4 / The Pile): eval set = documents with
+    doc_id % 97 == 3 (deterministic stand-in benchmark, synthesised
+    from the same table — no external data); every other document is
+    flagged iff it shares any token 4-gram with it. The eval gram set
+    is the broadcast small side; the corpus side is a pure streaming
+    actor-pool map with no shuffle at any scale."""
+    import numpy as np
+
+    from ..stages import decontam
+
+    base = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("text"))),
+        batch_format="pyarrow",
+    )
+
+    def mod_filter(want_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = b.column("doc_id").to_numpy(zero_copy_only=False) % 97 == 3
+            return b.filter(pa.array(m if want_eval else ~m))
+
+        return f
+
+    ev = base.map_batches(mod_filter(True), batch_format="pyarrow")
+    corpus = base.map_batches(mod_filter(False), batch_format="pyarrow")
+    out = decontam.decontaminate(corpus, ev, n=4)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_hits", "contaminated"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+toks AS (SELECT doc_id, string_split(text,' ') AS ts FROM base),
+flat AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts,1) AS ord
+         FROM toks),
+grams AS (
+  SELECT a.doc_id, a.tok||' '||b.tok||' '||c.tok||' '||d.tok AS gram
+  FROM flat a
+  JOIN flat b ON b.doc_id=a.doc_id AND b.ord=a.ord+1
+  JOIN flat c ON c.doc_id=a.doc_id AND c.ord=a.ord+2
+  JOIN flat d ON d.doc_id=a.doc_id AND d.ord=a.ord+3
+),
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 3),
+hits AS (SELECT g.doc_id, count(*)::BIGINT AS n_hits
+         FROM grams g JOIN ev ON g.gram = ev.gram
+         WHERE g.doc_id % 97 != 3 GROUP BY g.doc_id)
+SELECT b.doc_id,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM base b LEFT JOIN hits h USING(doc_id)
+WHERE b.doc_id % 97 != 3
+"""
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style duplicate-line stats (Rae et al. 2021 A1). The
+    synthetic corpus has no naturally repeated lines, so rows with
+    doc_id % 7 == 0 get their text doubled (text + "\\n" + text) in
+    BOTH engine and SQL, making the metrics non-trivially non-zero.
+    Integer counts only (ratios derive downstream) so the check is
+    order-independent and exact."""
+    from ..stages import repetition
+
+    base = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("text"))),
+        batch_format="pyarrow",
+    )
+
+    def double_some(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        doubled = pc.binary_join_element_wise(txt, txt, "\n")
+        new_txt = pc.if_else(pa.array(ids % 7 == 0), doubled, txt)
+        return pa.table({"doc_id": b.column("doc_id"), "text": new_txt})
+
+    return repetition.repetition_stats(
+        base.map_batches(double_some, batch_format="pyarrow")
+    )
+
+
+SQL_REPETITION = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || text
+              ELSE text END AS text
+  FROM documents WHERE text IS NOT NULL
+),
+l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM base),
+per AS (SELECT doc_id, line, count(*)::BIGINT AS c,
+               length(line)::BIGINT AS len
+        FROM l GROUP BY doc_id, line)
+SELECT doc_id,
+  sum(c)::BIGINT AS n_lines,
+  (sum(c) - count(*))::BIGINT AS n_dup_lines,
+  sum(CASE WHEN c > 1 THEN c*len ELSE 0 END)::BIGINT AS dup_line_chars,
+  sum(c*len)::BIGINT AS total_line_chars
+FROM per GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
@@ -1799,6 +1908,8 @@ QUERIES = {
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "pipeline_pack_train": (q_pipeline_pack_train, SQL_PIPELINE_PACK_TRAIN),
     "host_cap": (q_host_cap, SQL_HOST_CAP),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "repetition_stats": (q_repetition, SQL_REPETITION),
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
     "distinct_tokens_sketch": (q_distinct_tokens, None),

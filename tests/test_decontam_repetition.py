@@ -1,0 +1,91 @@
+"""Unit + equivalence tests for the decontamination and repetition
+stages (the SQL-parity check lives in test_queries_vs_duckdb via the
+`decontaminate` / `repetition_stats` registry entries)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from gocrd_ray.stages import decontam, repetition
+
+
+def test_token_ngrams_respects_doc_boundaries():
+    col = pa.array(["a b c d", "c d a b"])
+    grams, parents = decontam._token_ngrams(col, 3)
+    assert grams.to_pylist() == ["a b c", "b c d", "c d a", "d a b"]
+    assert parents.tolist() == [0, 0, 1, 1]
+    # NO "c d c" / "d c d" cross-document grams
+    assert not any(" " not in g for g in grams.to_pylist())
+
+
+def test_token_ngrams_short_and_empty_docs():
+    col = pa.array(["a b", "", None, "x y z w"])
+    grams, parents = decontam._token_ngrams(col, 3)
+    # docs 0-2 have < 3 tokens (null → ""), only doc 3 contributes
+    assert grams.to_pylist() == ["x y z", "y z w"]
+    assert parents.tolist() == [3, 3]
+
+
+def test_token_ngrams_keeps_empty_tokens():
+    # double space → empty token, exactly like SQL string_split
+    grams, _ = decontam._token_ngrams(pa.array(["a  b c"]), 3)
+    assert grams.to_pylist() == ["a  b", " b c"]
+
+
+def test_decontaminator_counts_occurrences():
+    ev = pa.array(["b c d"])
+    d = decontam.Decontaminator(grams=ev, n=3)
+    out = d(pa.table({"doc_id": [1, 2], "text": ["a b c d b c d", "x y z"]}))
+    # "b c d" occurs at positions 1 and 4 of doc 1
+    assert out.column("n_hits").to_pylist() == [2, 0]
+    assert out.column("contaminated").to_pylist() == [True, False]
+
+
+def test_decontaminator_hashed_equals_string_mode():
+    texts = ["a b c d e", "c d e f g", "q r s t", "a b c x y"]
+    tbl = pa.table({"doc_id": list(range(4)), "text": texts})
+    ev = pa.array(["a b c", "d e f"])
+    plain = decontam.Decontaminator(grams=ev, n=3)(tbl)
+    ev_h = np.sort(np.unique(decontam._hash_grams(ev)))
+    hashed = decontam.Decontaminator(grams=ev_h, n=3, hashed=True)(tbl)
+    assert plain.column("n_hits").to_pylist() == hashed.column("n_hits").to_pylist()
+
+
+def test_repetition_stats_batch_known_values():
+    tbl = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "aa\nbb\naa\ncc\naa",  # "aa" ×3 (dup), bb/cc unique
+                "x\ny",                # no dups
+                "",                    # one empty line
+            ],
+        }
+    )
+    out = repetition.repetition_stats_batch(tbl)
+    assert out.column("n_lines").to_pylist() == [5, 2, 1]
+    assert out.column("n_dup_lines").to_pylist() == [2, 0, 0]
+    # dup_line_chars counts EVERY occurrence of the repeated line
+    assert out.column("dup_line_chars").to_pylist() == [6, 0, 0]
+    assert out.column("total_line_chars").to_pylist() == [10, 2, 0]
+
+
+def test_repetition_stats_null_text():
+    out = repetition.repetition_stats_batch(
+        pa.table({"doc_id": [1], "text": pa.array([None], pa.string())})
+    )
+    assert out.column("n_lines").to_pylist() == [1]  # "" → one empty line
+    assert out.column("total_line_chars").to_pylist() == [0]
+
+
+def test_collect_eval_grams_distinct(ray_session):
+    import ray.data
+
+    ds = ray.data.from_items(
+        [{"text": "a b c d"}, {"text": "a b c x"}, {"text": "a b c d"}]
+    )
+    grams = decontam.collect_eval_grams(ds, n=4)
+    assert sorted(grams.to_pylist()) == ["a b c d", "a b c x"]
+    hashes = decontam.collect_eval_grams(ds, n=4, hashed=True)
+    assert len(hashes) == 2 and hashes.dtype == np.uint64
+    assert (np.sort(hashes) == hashes).all()
