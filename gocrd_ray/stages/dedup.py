@@ -331,7 +331,9 @@ def _bucket_pairs(buckets_ds, *, band_col: str, key_col: str, id_col: str,
     def add_shard(b: pa.Table) -> pa.Table:
         band = b.column(band_col).to_numpy(zero_copy_only=False).astype(np.int64)
         key = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        combo = key * np.int64(256) + band  # unique per (band, key)
+        # unique per (band, key): callers keep keys ≤ 55 bits and
+        # bands < 256, so the packing never wraps int64
+        combo = key * np.int64(256) + band
         shard = (
             (combo.astype(np.uint64) * np.uint64(2654435761))
             >> np.uint64(13)
@@ -396,20 +398,38 @@ def lsh_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
     )
 
     def to_buckets(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        sigs_np = np.array(batch.column("sig").to_pylist(), dtype=np.int64)
-        out_band, out_key, out_id = [], [], []
+        # fully vectorized band keys: FNV-1a folded over the band's
+        # minhash values (numpy uint64 wraparound), masked to 55 bits so
+        # _bucket_pairs' (key << 8 | band) packing stays collision-free
+        # in int64. The key only needs to distinguish band signatures —
+        # any uniform hash gives identical candidate pairs (collisions
+        # at 2^-55 per bucket pair are below the old crc32's 2^-32).
+        n = len(batch)
+        sig = batch.column("sig")
+        if isinstance(sig, pa.ChunkedArray):
+            sig = sig.combine_chunks()
+        vals = (
+            sig.values.to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+            .reshape(n, num_perm)
+        )
+        keys = np.empty((bands, n), dtype=np.uint64)
         for bi in range(bands):
-            band = sigs_np[:, bi * rows_per_band : (bi + 1) * rows_per_band]
-            for row_id, brow in zip(ids, band):
-                out_band.append(bi)
-                out_key.append(zlib.crc32(brow.tobytes()))
-                out_id.append(row_id)
+            band = vals[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+            h = np.full(n, np.uint64(0xCBF29CE484222325))
+            for c in range(rows_per_band):
+                h = (h ^ band[:, c]) * np.uint64(0x100000001B3)
+            keys[bi] = h
+        out_key = (keys.reshape(-1) & np.uint64((1 << 55) - 1)).astype(np.int64)
+        out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
-                "bkey": pa.array(out_key, pa.int64()),
-                id_col: pa.array(out_id),
+                "band": pa.array(out_band),
+                "bkey": pa.array(out_key),
+                id_col: ids.take(pa.array(np.tile(np.arange(n), bands))),
             }
         )
 
