@@ -49,6 +49,8 @@ QUERY_NAMES = [
     "pdf_text",
     "pack_chunks",
     "host_cap",
+    "decontaminate",
+    "repetition_stats",
 ]
 
 

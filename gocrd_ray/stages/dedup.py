@@ -638,19 +638,29 @@ def ngram_jaccard_pairs(ds, *, k: int = 3, min_jaccard: float = 0.5,
 
 def attach_column_lookup(pairs_ds, lookup_ds, *, key_col: str, out_col: str,
                          id_col: str, value_col: str, value_type: pa.DataType,
-                         n_buckets: int = 32):
+                         n_buckets: int = 32, pairs_schema=None):
     """Co-partitioned lookup join: append ``lookup_ds``'s ``value_col``
     (matched on ``pairs.key_col == lookup.id_col``) as ``out_col``.
 
     pyarrow's hash join rejects list-typed payload columns, so this is
     the partitioned-hash-join shape (stages/join.py) done by hand: both
-    sides get ``bucket = crc32(key) % B``, ONE groupby(bucket) shuffle
+    sides get ``bucket = hash(key) % B``, ONE groupby(bucket) shuffle
     co-locates pair rows with exactly the lookup rows they reference,
-    and a per-bucket dict lookup attaches the values. Only pairs +
-    referenced values move; nothing is broadcast. Used for shingle sets
-    (list<string>) and embeddings (list<float>).
+    and a vectorized ``index_in`` + ``take`` per bucket attaches the
+    values (unmatched keys → null). Only pairs + referenced values
+    move; nothing is broadcast. Used for shingle sets (list<string>)
+    and embeddings (list<float>).
+
+    Pass ``pairs_schema`` when ``pairs_ds`` is LAZY: ``.schema()`` on a
+    lazy dataset executes its plan up to the first block, so chaining
+    two attach passes without it runs the first pass's shuffle TWICE
+    (measured — it roughly doubled the wall time of the composed
+    verified-Jaccard / cosine-verify pipelines).
     """
-    pschema = pairs_ds.schema().base_schema
+    pschema = (
+        pairs_schema if pairs_schema is not None
+        else pairs_ds.schema().base_schema
+    )
     pnames = list(pschema.names)
     sh_type = value_type
     union_schema = pa.schema(
@@ -670,10 +680,11 @@ def attach_column_lookup(pairs_ds, lookup_ds, *, key_col: str, out_col: str,
         return pa.Table.from_arrays(cols, schema=target)
 
     def bucket_of(col) -> pa.Array:
-        return pa.array(
-            [zlib.crc32(str(v).encode()) % n_buckets for v in col.to_pylist()],
-            pa.int32(),
-        )
+        # keys are int64 ids on both sides (tag_sets casts) — one
+        # numpy multiply-shift hash, no per-row Python
+        k = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
+        return pa.array((h % np.uint64(n_buckets)).astype(np.int32))
 
     def tag_pairs(b: pa.Table) -> pa.Table:
         b = b.append_column("__bucket", bucket_of(b.column(key_col)))
@@ -694,23 +705,28 @@ def attach_column_lookup(pairs_ds, lookup_ds, *, key_col: str, out_col: str,
     def per_bucket(group: pa.Table) -> pa.Table:
         smask = pc.equal(group.column("__side"), "s")
         srows = group.filter(smask)
-        lut = dict(
-            zip(srows.column(key_col).to_pylist(), srows.column("__sh").to_pylist())
-        )
         prows = group.filter(pc.invert(smask))
-        sh = [lut.get(v) for v in prows.column(key_col).to_pylist()]
-        out = prows.select(pnames).append_column(out_col, pa.array(sh, sh_type))
+        skeys = srows.column(key_col)
+        if isinstance(skeys, pa.ChunkedArray):
+            skeys = skeys.combine_chunks()
+        svals = srows.column("__sh")
+        if isinstance(svals, pa.ChunkedArray):
+            svals = svals.combine_chunks()
+        idx = pc.index_in(prows.column(key_col), value_set=skeys)
+        sh = svals.take(idx) if len(srows) else pa.nulls(len(prows), sh_type)
+        out = prows.select(pnames).append_column(out_col, sh)
         return _aligned(out, out_schema)
 
     return both.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def _attach_sets(pairs_ds, sets_ds, *, key_col: str, out_col: str,
-                 id_col: str, n_buckets: int):
+                 id_col: str, n_buckets: int, pairs_schema=None):
     """Shingle-set specialization of ``attach_column_lookup``."""
     return attach_column_lookup(
         pairs_ds, sets_ds, key_col=key_col, out_col=out_col, id_col=id_col,
         value_col="sh", value_type=pa.list_(pa.string()), n_buckets=n_buckets,
+        pairs_schema=pairs_schema,
     )
 
 
@@ -761,20 +777,24 @@ def verified_jaccard_pairs(ds, *, k: int = 3, num_perm: int = 64,
         for b in cand.iter_batches(batch_format="pyarrow"):
             ids.update(b.column("id_a").to_pylist())
             ids.update(b.column("id_b").to_pylist())
-        ref = ray.put(ids)
+        ref = ray.put(np.array(sorted(ids), dtype=np.int64))
 
         def only_referenced(b: pa.Table) -> pa.Table:
-            keep = ray.get(ref)
-            mask = pa.array([v in keep for v in b.column(id_col).to_pylist()])
-            return b.filter(mask)
+            keep = ray.get(ref)  # zero-copy shared ndarray
+            vals = b.column(id_col).to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(np.isin(vals, keep)))
 
         sets = sets.map_batches(only_referenced, batch_format="pyarrow")
 
     sets = sets.materialize()  # consumed by both attach passes
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    sh_field = pa.field("sh_a", pa.list_(pa.string()))
     with_a = _attach_sets(cand, sets, key_col="id_a", out_col="sh_a",
-                          id_col=id_col, n_buckets=n_buckets)
+                          id_col=id_col, n_buckets=n_buckets,
+                          pairs_schema=pair_schema)
     with_b = _attach_sets(with_a, sets, key_col="id_b", out_col="sh_b",
-                          id_col=id_col, n_buckets=n_buckets)
+                          id_col=id_col, n_buckets=n_buckets,
+                          pairs_schema=pa.schema(list(pair_schema) + [sh_field]))
 
     def verify(b: pa.Table) -> pa.Table:
         a_out, b_out, i_out, u_out = [], [], [], []

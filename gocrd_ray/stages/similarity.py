@@ -297,23 +297,28 @@ def cosine_neardup_pairs_lsh(
         for b in cand.iter_batches(batch_format="pyarrow"):
             ids.update(b.column("id_a").to_pylist())
             ids.update(b.column("id_b").to_pylist())
-        ref = ray.put(ids)
+        ref = ray.put(np.array(sorted(ids), dtype=np.int64))
 
         def only_referenced(b: pa.Table) -> pa.Table:
-            keep = ray.get(ref)
-            mask = pa.array([v in keep for v in b.column(id_col).to_pylist()])
-            return b.filter(mask)
+            keep = ray.get(ref)  # zero-copy shared ndarray
+            vals = b.column(id_col).to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(np.isin(vals, keep)))
 
         emb = emb.map_batches(only_referenced, batch_format="pyarrow")
     emb = emb.materialize()
 
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
     with_a = attach_column_lookup(
         cand, emb, key_col="id_a", out_col="emb_a", id_col=id_col,
         value_col="embedding", value_type=emb_type, n_buckets=n_buckets,
+        pairs_schema=pair_schema,
     )
     with_b = attach_column_lookup(
         with_a, emb, key_col="id_b", out_col="emb_b", id_col=id_col,
         value_col="embedding", value_type=emb_type, n_buckets=n_buckets,
+        pairs_schema=pa.schema(
+            list(pair_schema) + [pa.field("emb_a", emb_type)]
+        ),
     )
 
     def verify(b: pa.Table) -> pa.Table:
