@@ -842,24 +842,36 @@ def simhash_candidate_pairs(ds, id_col: str = "doc_id", n_rotations: int = 4,
                           batch_format="pyarrow")
 
     def to_buckets(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        sims = batch.column("simhash").to_pylist()
-        rot_out, pref_out, id_out, sim_out = [], [], [], []
+        # vectorized bit-rotations: one numpy pass per rotation over the
+        # uint64 (two's-complement) view of the whole batch
+        n = len(batch)
+        sims_col = batch.column("simhash")
+        if isinstance(sims_col, pa.ChunkedArray):
+            sims_col = sims_col.combine_chunks()
+        u = sims_col.to_numpy(zero_copy_only=False).astype(np.int64).view(
+            np.uint64
+        )
+        step = 64 // n_rotations
+        pref = np.empty((n_rotations, n), dtype=np.int64)
         for r in range(n_rotations):
-            shift = r * (64 // n_rotations)
-            for i, s in zip(ids, sims):
-                u = s & 0xFFFFFFFFFFFFFFFF  # two's-complement view
-                rotated = ((u << shift) | (u >> (64 - shift))) & 0xFFFFFFFFFFFFFFFF
-                rot_out.append(r)
-                pref_out.append(rotated >> 48)
-                id_out.append(i)
-                sim_out.append(s)
+            shift = np.uint64(r * step)
+            rotated = (
+                u if r == 0
+                else (u << shift) | (u >> (np.uint64(64) - shift))
+            )
+            pref[r] = (rotated >> np.uint64(48)).astype(np.int64)
+        ids = pc.cast(batch.column(id_col), pa.int64())
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        tile = pa.array(np.tile(np.arange(n), n_rotations))
         return pa.table(
             {
-                "rot": pa.array(rot_out, pa.int32()),
-                "prefix": pa.array(pref_out, pa.int64()),
-                id_col: pa.array(id_out, pa.int64()),
-                "simhash": pa.array(sim_out, pa.int64()),
+                "rot": pa.array(
+                    np.repeat(np.arange(n_rotations, dtype=np.int32), n)
+                ),
+                "prefix": pa.array(pref.reshape(-1)),
+                id_col: ids.take(tile),
+                "simhash": sims_col.take(tile),
             }
         )
 
