@@ -230,3 +230,19 @@ def _parse_pdfs(ds, **cfg):
     from ..stages.pdf_layout import parse_pdfs
 
     return parse_pdfs(ds, **cfg)
+
+
+@step("decontaminate")
+def _decontaminate(ds, *, eval_ds, **cfg):
+    """Flag rows sharing token n-grams with ``eval_ds`` (a Dataset of
+    the held-out benchmark); filter ``contaminated == false`` next."""
+    from ..stages.decontam import decontaminate
+
+    return decontaminate(ds, eval_ds, **cfg)
+
+
+@step("repetition_stats")
+def _repetition_stats(ds, **cfg):
+    from ..stages.repetition import repetition_stats
+
+    return repetition_stats(ds, **cfg)
