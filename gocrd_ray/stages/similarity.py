@@ -322,32 +322,36 @@ def cosine_neardup_pairs_lsh(
     )
 
     def verify(b: pa.Table) -> pa.Table:
-        ia = b.column("id_a").to_pylist()
-        ib = b.column("id_b").to_pylist()
-        ea = b.column("emb_a").to_pylist()
-        eb = b.column("emb_b").to_pylist()
-        rows = [
-            (x, y, va, vb)
-            for x, y, va, vb in zip(ia, ib, ea, eb)
-            if va is not None and vb is not None
-        ]
-        if not rows:
+        # vectorized: drop rows with a missed lookup, then ONE reshape
+        # of each side's flattened list<float> buffer + one row-wise dot
+        rows = b.filter(
+            pc.and_(pc.is_valid(b.column("emb_a")),
+                    pc.is_valid(b.column("emb_b")))
+        )
+        if len(rows) == 0:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()),
                  "id_b": pa.array([], pa.int64()),
                  "sim": pa.array([], pa.float64())}
             )
-        A = _normalize(np.array([r[2] for r in rows], dtype=np.float64))
-        B = _normalize(np.array([r[3] for r in rows], dtype=np.float64))
-        sims = (A * B).sum(axis=1)
+
+        def mat(col_name: str) -> np.ndarray:
+            flat = pc.list_flatten(rows.column(col_name))
+            return (
+                flat.to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(len(rows), -1)
+            )
+
+        sims = (_normalize(mat("emb_a")) * _normalize(mat("emb_b"))).sum(axis=1)
         keep = sims >= threshold
         return pa.table(
             {
                 "id_a": pa.array(
-                    np.array([r[0] for r in rows], dtype=np.int64)[keep]
+                    rows.column("id_a").to_numpy(zero_copy_only=False)[keep]
                 ),
                 "id_b": pa.array(
-                    np.array([r[1] for r in rows], dtype=np.int64)[keep]
+                    rows.column("id_b").to_numpy(zero_copy_only=False)[keep]
                 ),
                 "sim": pa.array(sims[keep], pa.float64()),
             }
