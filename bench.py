@@ -51,6 +51,7 @@ QUERY_NAMES = [
     "host_cap",
     "decontaminate",
     "repetition_stats",
+    "pii_redact",
 ]
 
 

@@ -19,7 +19,7 @@ from .. import pagegen
 from ..oracle import Match, MetsMatch
 from ..sources import manifest as mf
 from ..sources.pages import pages_from_documents, read_parquet_clean
-from ..stages import boilerplate, dedup, explode, join, match, similarity, text_stats, window
+from ..stages import boilerplate, dedup, explode, join, match, pii, similarity, text_stats, window
 from . import metrics
 from .extract_pipeline import extract_pages
 
@@ -1854,6 +1854,80 @@ FROM per GROUP BY doc_id
 """
 
 
+def q_pii_redact(sf_dir: str):
+    """PII redaction (C4/RefinedWeb-style privacy pass): mask emails /
+    IPv4s / phone-like runs, count each. The synthetic corpus contains
+    no PII, so deterministic PII is appended per doc_id residue in BOTH
+    engine and SQL (no external data); both sides then run the same
+    RE2 patterns, so the redacted text itself is bit-checked."""
+    base = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("text"))),
+        batch_format="pyarrow",
+    )
+
+    def inject(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        ids_s = pc.cast(b.column("doc_id"), pa.string())
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        with_email = pc.binary_join_element_wise(
+            txt, pc.binary_join_element_wise(
+                pa.array(["contact user"] * len(b)), ids_s, "@example.com", ""
+            ), " "
+        )
+        txt = pc.if_else(pa.array(ids % 11 == 0), with_email, txt)
+        oct3 = pc.cast(pa.array(ids % 256), pa.string())
+        with_ip = pc.binary_join_element_wise(
+            txt, pc.binary_join_element_wise(
+                pa.array(["from 10.0."] * len(b)), oct3, ".7", ""
+            ), " "
+        )
+        txt = pc.if_else(pa.array(ids % 13 == 0), with_ip, txt)
+        with_phone = pc.binary_join_element_wise(
+            txt, "call +1 555-000-1234", " "
+        )
+        txt = pc.if_else(pa.array(ids % 17 == 0), with_phone, txt)
+        return pa.table({"doc_id": b.column("doc_id"), "text": txt})
+
+    return pii.redact_pii(base.map_batches(inject, batch_format="pyarrow"))
+
+
+_PII_E, _PII_I, _PII_P = (p for _, p, _ in pii.PATTERNS)
+
+SQL_PII_REDACT = f"""
+WITH injected AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 17 = 0 THEN t3 || ' call +1 555-000-1234' ELSE t3 END AS text
+  FROM (
+    SELECT doc_id,
+      CASE WHEN doc_id % 13 = 0
+           THEN t2 || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+           ELSE t2 END AS t3
+    FROM (
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0
+             THEN text || ' contact user' || doc_id::VARCHAR || '@example.com'
+             ELSE text END AS t2
+      FROM documents WHERE text IS NOT NULL
+    )
+  )
+),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(text, '{_PII_E}'))::BIGINT AS n_email,
+              regexp_replace(text, '{_PII_E}', '[EMAIL]', 'g') AS t FROM injected),
+s2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t, '{_PII_I}'))::BIGINT AS n_ipv4,
+              regexp_replace(t, '{_PII_I}', '[IP]', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ipv4,
+              len(regexp_extract_all(t, '{_PII_P}'))::BIGINT AS n_phone,
+              regexp_replace(t, '{_PII_P}', '[PHONE]', 'g') AS t FROM s2)
+SELECT doc_id, t AS text_redacted, n_email, n_ipv4, n_phone FROM s3
+"""
+
+
 QUERIES = {
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
@@ -1910,6 +1984,7 @@ QUERIES = {
     "host_cap": (q_host_cap, SQL_HOST_CAP),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_stats": (q_repetition, SQL_REPETITION),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
     "distinct_tokens_sketch": (q_distinct_tokens, None),

@@ -246,3 +246,10 @@ def _repetition_stats(ds, **cfg):
     from ..stages.repetition import repetition_stats
 
     return repetition_stats(ds, **cfg)
+
+
+@step("redact_pii")
+def _redact_pii(ds, **cfg):
+    from ..stages.pii import redact_pii
+
+    return redact_pii(ds, **cfg)

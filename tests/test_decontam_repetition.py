@@ -89,3 +89,45 @@ def test_collect_eval_grams_distinct(ray_session):
     hashes = decontam.collect_eval_grams(ds, n=4, hashed=True)
     assert len(hashes) == 2 and hashes.dtype == np.uint64
     assert (np.sort(hashes) == hashes).all()
+
+
+def test_pii_redact_batch_patterns():
+    import pyarrow as pa
+
+    from gocrd_ray.stages.pii import redact_batch
+
+    out = redact_batch(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "mail a.b+c@ex-a.co.uk and x@y.io",
+                    "ip 192.168.0.1 phone +1 555-123-4567",
+                    "overlong 1.2.3.4.5 bare 123456789012",
+                    None,
+                ],
+            }
+        )
+    )
+    assert out.column("n_email").to_pylist() == [2, 0, 0, 0]
+    assert out.column("n_ipv4").to_pylist() == [0, 1, 1, 0]
+    assert out.column("n_phone").to_pylist() == [0, 1, 1, 0]
+    red = out.column("text_redacted").to_pylist()
+    assert red[0] == "mail [EMAIL] and [EMAIL]"
+    assert red[1] == "ip [IP] phone [PHONE]"
+    # the 5-octet run matches the ipv4 pattern on its first 4 octets
+    assert red[2] == "overlong [IP].5 bare [PHONE]"
+    assert red[3] == ""
+
+
+def test_pii_redaction_order_prevents_overmatching():
+    import pyarrow as pa
+
+    from gocrd_ray.stages.pii import redact_batch
+
+    # email digits must NOT survive into the phone pass
+    out = redact_batch(
+        pa.table({"doc_id": [1], "text": ["reach 12345678901@example.com"]})
+    )
+    assert out.column("n_email").to_pylist() == [1]
+    assert out.column("n_phone").to_pylist() == [0]
