@@ -52,6 +52,7 @@ QUERY_NAMES = [
     "decontaminate",
     "repetition_stats",
     "pii_redact",
+    "normalize_text",
 ]
 
 

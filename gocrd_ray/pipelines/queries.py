@@ -1928,6 +1928,56 @@ SELECT doc_id, t AS text_redacted, n_email, n_ipv4, n_phone FROM s3
 """
 
 
+def q_normalize_text(sf_dir: str):
+    """Canonical text cleanup (NFC, control strip, whitespace collapse,
+    trim) with auditable before/after codepoint counts. The corpus has
+    embedded newlines/tab runs, so the collapse is non-trivial; dirty
+    control bytes are additionally injected for doc_id % 19 == 0 rows
+    in BOTH engine and SQL."""
+    base = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("text"))),
+        batch_format="pyarrow",
+    )
+
+    def dirty(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        dirtied = pc.binary_join_element_wise(
+            "\x01pre\x02 ", txt, " \x1ftail", ""
+        )
+        txt = pc.if_else(pa.array(ids % 19 == 0), dirtied, txt)
+        return pa.table({"doc_id": b.column("doc_id"), "text": txt})
+
+    return text_stats.normalize_text(
+        base.map_batches(dirty, batch_format="pyarrow")
+    )
+
+
+SQL_NORMALIZE_TEXT = f"""
+WITH dirty AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 19 = 0
+         THEN chr(1) || 'pre' || chr(2) || ' ' || text || ' ' || chr(31) || 'tail'
+         ELSE text END AS text
+  FROM documents WHERE text IS NOT NULL
+),
+n AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars_before,
+         trim(regexp_replace(regexp_replace(nfc_normalize(text),
+              '{text_stats.NORM_CTRL_RE}', '', 'g'), '{text_stats.NORM_WS_RE}',
+              ' ', 'g'), ' ') AS text_norm
+  FROM dirty
+)
+SELECT doc_id, text_norm, n_chars_before,
+       length(text_norm)::BIGINT AS n_chars_after
+FROM n
+"""
+
+
 QUERIES = {
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
@@ -1985,6 +2035,7 @@ QUERIES = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_stats": (q_repetition, SQL_REPETITION),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
     "distinct_tokens_sketch": (q_distinct_tokens, None),

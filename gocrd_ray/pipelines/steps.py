@@ -253,3 +253,10 @@ def _redact_pii(ds, **cfg):
     from ..stages.pii import redact_pii
 
     return redact_pii(ds, **cfg)
+
+
+@step("normalize_text")
+def _normalize_text(ds, **cfg):
+    from ..stages.text_stats import normalize_text
+
+    return normalize_text(ds, **cfg)

@@ -345,3 +345,44 @@ def pack_chunks(ds, *, chunk_tokens: int = 512, text_col: str = "text",
         )
 
     return ranged.groupby("rng").map_groups(per_range, batch_format="pyarrow")
+
+
+# control chars (C0 minus nothing — \s already covers \t\n\f\r) stripped
+# BEFORE whitespace collapse so "a\x00 b" and "a  b" normalize alike.
+# Shared with the SQL mirror (both engines run RE2).
+NORM_CTRL_RE = r"[\x00-\x08\x0b\x0e-\x1f\x7f]"
+NORM_WS_RE = r"\s+"
+
+
+def normalize_batch(batch: pa.Table, *, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Canonical text cleanup: NFC unicode normalization, control-char
+    strip, whitespace-run collapse to single spaces, space trim —
+    all in Arrow C++ kernels, bit-matchable by the DuckDB mirror
+    (nfc_normalize + the same RE2 patterns). Emits before/after
+    codepoint counts so shrinkage is auditable."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    before = pc.cast(pc.utf8_length(col), pa.int64())
+    t = pc.utf8_normalize(col, form="NFC")
+    t = pc.replace_substring_regex(t, NORM_CTRL_RE, "")
+    t = pc.replace_substring_regex(t, NORM_WS_RE, " ")
+    t = pc.utf8_trim(t, " ")
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "text_norm": t,
+            "n_chars_before": before,
+            "n_chars_after": pc.cast(pc.utf8_length(t), pa.int64()),
+        }
+    )
+
+
+def normalize_text(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Streaming text normalization — pure per-row map, no shuffle."""
+    return ds.map_batches(
+        lambda b: normalize_batch(b, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+    )

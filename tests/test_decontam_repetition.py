@@ -131,3 +131,21 @@ def test_pii_redaction_order_prevents_overmatching():
     )
     assert out.column("n_email").to_pylist() == [1]
     assert out.column("n_phone").to_pylist() == [0]
+
+
+def test_normalize_batch_units():
+    import pyarrow as pa
+
+    from gocrd_ray.stages.text_stats import normalize_batch
+
+    out = normalize_batch(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["  a\t\tb\r\nc  ", "\x01x\x02 y\x1f", None],
+            }
+        )
+    )
+    assert out.column("text_norm").to_pylist() == ["a b c", "x y", ""]
+    assert out.column("n_chars_before").to_pylist() == [11, 6, 0]
+    assert out.column("n_chars_after").to_pylist() == [5, 3, 0]
