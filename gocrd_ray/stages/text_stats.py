@@ -366,7 +366,25 @@ def normalize_batch(batch: pa.Table, *, text_col: str = "text",
         col = col.combine_chunks()
     col = pc.fill_null(col, "")
     before = pc.cast(pc.utf8_length(col), pa.int64())
-    t = pc.utf8_normalize(col, form="NFC")
+    # NFC: pyarrow's utf8_normalize(form="NFC") does NOT compose
+    # (16.1 returns e+U+0301 for "é" where Python/DuckDB return U+00E9
+    # — caught by the hypothesis parity test), so non-ASCII rows go
+    # through unicodedata; the common all-ASCII case skips it entirely.
+    ascii_mask = pc.string_is_ascii(col)
+    if pc.all(ascii_mask).as_py():
+        t = col
+    else:
+        import unicodedata
+
+        np_mask = ascii_mask.to_numpy(zero_copy_only=False)
+        vals = col.to_pylist()
+        t = pa.array(
+            [
+                v if is_a else unicodedata.normalize("NFC", v)
+                for v, is_a in zip(vals, np_mask)
+            ],
+            pa.string(),
+        )
     t = pc.replace_substring_regex(t, NORM_CTRL_RE, "")
     t = pc.replace_substring_regex(t, NORM_WS_RE, " ")
     t = pc.utf8_trim(t, " ")
