@@ -53,6 +53,7 @@ QUERY_NAMES = [
     "repetition_stats",
     "pii_redact",
     "normalize_text",
+    "token_rank",
 ]
 
 

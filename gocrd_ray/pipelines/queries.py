@@ -1978,6 +1978,45 @@ FROM n
 """
 
 
+def q_token_rank(sf_dir: str):
+    """Corpus-wide exact ranking (distributed ORDER BY — the curation
+    cut "keep the top N% by signal"): every document's dense 0-based
+    position ordered by (n_tokens DESC, doc_id ASC), assigned with the
+    range-partition + order-statistics shape (stages/rank.py). Only
+    (key, id) pairs shuffle; the driver sees a sample and one count
+    per bucket."""
+    from ..stages import rank, text_stats
+
+    base = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("text"))),
+        batch_format="pyarrow",
+    )
+
+    def n_tokens(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(b.column("text"), ""), " ")
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            }
+        )
+
+    keyed = base.map_batches(n_tokens, batch_format="pyarrow")
+    return rank.global_rank(keyed, key_col="n_tokens", id_col="doc_id",
+                            descending=True)
+
+
+SQL_TOKEN_RANK = """
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_tokens,
+       (ROW_NUMBER() OVER (ORDER BY len(string_split(text, ' ')) DESC,
+                           doc_id ASC) - 1)::BIGINT AS rank
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 QUERIES = {
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
@@ -2036,6 +2075,7 @@ QUERIES = {
     "repetition_stats": (q_repetition, SQL_REPETITION),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
+    "token_rank": (q_token_rank, SQL_TOKEN_RANK),
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
     "distinct_tokens_sketch": (q_distinct_tokens, None),

@@ -260,3 +260,10 @@ def _normalize_text(ds, **cfg):
     from ..stages.text_stats import normalize_text
 
     return normalize_text(ds, **cfg)
+
+
+@step("global_rank")
+def _global_rank(ds, **cfg):
+    from ..stages.rank import global_rank
+
+    return global_rank(ds, **cfg)

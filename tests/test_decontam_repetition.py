@@ -149,3 +149,28 @@ def test_normalize_batch_units():
     assert out.column("text_norm").to_pylist() == ["a b c", "x y", ""]
     assert out.column("n_chars_before").to_pylist() == [11, 6, 0]
     assert out.column("n_chars_after").to_pylist() == [5, 3, 0]
+
+
+def test_global_rank_matches_numpy_reference(ray_session):
+    import numpy as np
+    import ray.data
+
+    from gocrd_ray.stages.rank import global_rank
+
+    rng = np.random.RandomState(11)
+    keys = rng.randint(0, 7, size=400)  # heavy ties across buckets
+    rows = [{"doc_id": int(i), "k": int(k)} for i, k in enumerate(keys)]
+    ds = ray.data.from_items(rows).repartition(8)
+    for descending in (True, False):
+        out = {
+            r["doc_id"]: r["rank"]
+            for r in global_rank(
+                ds, key_col="k", id_col="doc_id",
+                descending=descending, n_buckets=5,
+            ).take_all()
+        }
+        s = -1 if descending else 1
+        order = np.lexsort((np.arange(len(keys)), s * keys))
+        want = np.empty(len(keys), dtype=int)
+        want[order] = np.arange(len(keys))
+        assert [out[i] for i in range(len(keys))] == want.tolist(), descending
