@@ -54,6 +54,7 @@ QUERY_NAMES = [
     "pii_redact",
     "normalize_text",
     "token_rank",
+    "length_quantiles",
 ]
 
 

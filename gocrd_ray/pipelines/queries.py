@@ -2017,6 +2017,32 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+def q_length_quantiles(sf_dir: str):
+    """Corpus length percentiles via the mergeable histogram sketch
+    (HDR-family): one fixed-size bincount partial per block, summed in
+    any order; exact-to-bin so the SQL mirror (quantile_disc over
+    floor-binned values) matches bit-for-bit — a SQL-checkable sketch,
+    unlike sampling."""
+    from ..stages import sketch
+
+    base = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("n_chars"))),
+        batch_format="pyarrow",
+    )
+    return sketch.hist_quantiles(base, value_col="n_chars", bin_width=16)
+
+
+SQL_LENGTH_QUANTILES = """
+SELECT count(*)::BIGINT AS n,
+       quantile_disc((n_chars // 16) * 16, 0.5)::BIGINT AS q50,
+       quantile_disc((n_chars // 16) * 16, 0.9)::BIGINT AS q90,
+       quantile_disc((n_chars // 16) * 16, 0.99)::BIGINT AS q99
+FROM documents WHERE n_chars IS NOT NULL
+"""
+
+
 QUERIES = {
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
@@ -2076,6 +2102,7 @@ QUERIES = {
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "token_rank": (q_token_rank, SQL_TOKEN_RANK),
+    "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
     "distinct_tokens_sketch": (q_distinct_tokens, None),

@@ -106,3 +106,59 @@ def distinct_tokens(ds, text_col: str = "text", p: int = 12) -> float:
         return out
 
     return approx_distinct(ds, tokens, p=p)
+
+
+# -- Histogram quantile sketch (HDR-histogram family) ------------------------
+
+
+def hist_quantiles(ds, *, value_col: str, bin_width: int = 16,
+                   qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                   id_filter=None):
+    """Mergeable histogram sketch → quantiles of an integer column.
+
+    The production shape for corpus-wide P50/P95/P99 at 10^12 rows
+    (HDR-histogram style): each block reduces to ONE fixed-size
+    bincount partial of ``value // bin_width``; partials are summed
+    (associative, any merge order) and the quantile is read off the
+    cumulative counts. Nothing row-sized leaves the blocks; the driver
+    sees len(bins) integers per block.
+
+    Resolution is exact-to-bin BY CONSTRUCTION: the result equals
+    DuckDB ``quantile_disc((v // W) * W, q)`` bit-for-bit (binning is
+    monotone, so the disc-quantile of binned values IS the binned
+    disc-quantile) — which is what makes this sketch SQL-checkable,
+    unlike sampling sketches. Index convention = quantile_disc:
+    smallest value with cumulative count ≥ ceil(q·n).
+
+    Returns a one-row pa.Table: (n, q50, q90, q99, ... named by qs).
+    """
+    import math
+
+    def per_block(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if id_filter is not None:
+            v = v[id_filter(b)]
+        bins = np.bincount(v // bin_width)
+        return pa.table({"hist": pa.array([bins.tolist()],
+                                          pa.list_(pa.int64()))})
+
+    parts = []
+    for blk in ds.map_batches(per_block, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for row in blk.column("hist").to_pylist():
+            parts.append(np.asarray(row, dtype=np.int64))
+    width = max((len(p) for p in parts), default=0)
+    merged = np.zeros(width, dtype=np.int64)
+    for p in parts:
+        merged[: len(p)] += p
+    n = int(merged.sum())
+    cum = np.cumsum(merged)
+    out = {"n": pa.array([n], pa.int64())}
+    for q in qs:
+        target = math.ceil(q * n) if n else 0
+        idx = int(np.searchsorted(cum, target)) if n else 0
+        out[f"q{int(q * 100)}"] = pa.array(
+            [idx * bin_width if n else None], pa.int64()
+        )
+    return pa.table(out)

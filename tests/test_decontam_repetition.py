@@ -174,3 +174,45 @@ def test_global_rank_matches_numpy_reference(ray_session):
         want = np.empty(len(keys), dtype=int)
         want[order] = np.arange(len(keys))
         assert [out[i] for i in range(len(keys))] == want.tolist(), descending
+
+
+def test_global_rank_single_hot_key(ray_session):
+    import numpy as np
+    import ray.data
+
+    from gocrd_ray.stages.rank import global_rank
+
+    # every row has the same key: one giant bucket, ranks = id order
+    rows = [{"doc_id": int(i), "k": 5} for i in range(300)]
+    ds = ray.data.from_items(rows).repartition(8)
+    out = {
+        r["doc_id"]: r["rank"]
+        for r in global_rank(
+            ds, key_col="k", id_col="doc_id", n_buckets=8
+        ).take_all()
+    }
+    assert [out[i] for i in range(300)] == list(range(300))
+
+
+def test_hist_quantiles_block_split_invariant(ray_session):
+    import numpy as np
+    import ray.data
+
+    from gocrd_ray.stages.sketch import hist_quantiles
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 5000, size=2000)
+    rows = [{"doc_id": int(i), "v": int(v)} for i, v in enumerate(vals)]
+    results = []
+    for blocks in (1, 7, 32):
+        ds = ray.data.from_items(rows).repartition(blocks)
+        t = hist_quantiles(ds, value_col="v", bin_width=16)
+        results.append(t.to_pydict())
+    assert results[0] == results[1] == results[2]
+    # exact-to-bin: sketch quantile equals binned numpy disc-quantile
+    import math
+
+    binned = np.sort((vals // 16) * 16)
+    for q, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
+        want = int(binned[math.ceil(q * len(binned)) - 1])
+        assert results[0][col][0] == want, (q, results[0][col], want)
