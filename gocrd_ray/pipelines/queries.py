@@ -2043,6 +2043,37 @@ FROM documents WHERE n_chars IS NOT NULL
 """
 
 
+def q_bloom_blocklist(sf_dir: str):
+    """Domain exclusion via the Bloom-prefiltered blocklist (the
+    10^9-entry-blocklist shape: ~10 bits/key broadcast once, clean
+    rows pay k bit-probes, only maybe-rows verify exactly — result
+    identical to the plain anti-join, same oracle shape as
+    `blocklist_filter`)."""
+    from ..stages import bloom
+
+    blocked_hosts = [f"h{k:02d}.example.com" for k in range(5)]
+    ext = extract_pages(pages_from_documents(sf_dir), mode="text")
+
+    def host_col(b: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(b.column("url"), r"//(?P<host>[^/]+)/"), "host"
+        )
+        return b.append_column("host", host)
+
+    with_host = ext.map_batches(host_col, batch_format="pyarrow")
+    kept = bloom.bloom_blocklist_filter(with_host, blocked_hosts,
+                                        key_col="host")
+
+    def proj(b: pa.Table) -> pa.Table:
+        return _i64(b.select(["url", "host", "n_words"]), ["n_words"])
+
+    return kept.map_batches(proj, batch_format="pyarrow")
+
+
+# the Bloom path must produce the IDENTICAL result set — same oracle
+SQL_BLOOM_BLOCKLIST = SQL_BLOCKLIST_FILTER
+
+
 QUERIES = {
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
@@ -2103,6 +2134,7 @@ QUERIES = {
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "token_rank": (q_token_rank, SQL_TOKEN_RANK),
     "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
+    "bloom_blocklist": (q_bloom_blocklist, SQL_BLOOM_BLOCKLIST),
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
     "distinct_tokens_sketch": (q_distinct_tokens, None),

@@ -267,3 +267,10 @@ def _global_rank(ds, **cfg):
     from ..stages.rank import global_rank
 
     return global_rank(ds, **cfg)
+
+
+@step("bloom_blocklist")
+def _bloom_blocklist(ds, *, blocked, key_col, **cfg):
+    from ..stages.bloom import bloom_blocklist_filter
+
+    return bloom_blocklist_filter(ds, blocked, key_col=key_col, **cfg)

@@ -1,0 +1,141 @@
+"""Bloom-filter blocklist: bounded-memory membership prefilter for
+blocklists too large to broadcast as a hash set (Bloom 1970).
+
+At 10^9 blocked keys a Python set is tens of GB per worker; a Bloom
+filter at ~10 bits/key is ~1.2 GB of numpy bits — `ray.put` once,
+zero-copy into every map task. Bloom answers "definitely clean" /
+"maybe blocked" with NO false negatives, so the composed pipeline
+stays EXACT: the maybe rows (true hits + fpr·clean) are the only ones
+that pay the exact verification (here a broadcast-set probe; at full
+scale a co-partitioned lookup join against the blocklist table, the
+`dedup.attach_column_lookup` shape). Result ≡ the plain anti-join —
+which is why the query form shares `blocklist_filter`'s oracle shape.
+
+Construction is itself distributed and mergeable: each block of the
+blocklist produces a partial bit array; partials OR together in any
+order (`build_from_dataset`).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _hash2(keys) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hash streams for double hashing
+    (Kirsch–Mitzenmacher: h1 + i·h2 is as good as k independent
+    hashes)."""
+    import pandas as pd
+
+    h1 = pd.util.hash_array(
+        np.asarray(keys, dtype=object), categorize=False
+    ).astype(np.uint64)
+    h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    return h1, h2
+
+
+def params_for(n_keys: int, fpr: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k_hashes) sized for ``n_keys`` at target ``fpr``."""
+    n = max(1, n_keys)
+    m = max(64, int(math.ceil(-n * math.log(fpr) / (math.log(2) ** 2))))
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+class Bloom:
+    """Fixed-size bit-array Bloom filter, fully vectorized add/probe."""
+
+    def __init__(self, m_bits: int, k: int, bits: np.ndarray | None = None):
+        self.m = int(m_bits)
+        self.k = int(k)
+        self.bits = (
+            bits if bits is not None
+            else np.zeros((self.m + 7) // 8, dtype=np.uint8)
+        )
+
+    def add(self, keys) -> None:
+        if len(keys) == 0:
+            return
+        h1, h2 = _hash2(keys)
+        for i in range(self.k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+            np.bitwise_or.at(
+                self.bits, (idx >> np.uint64(3)).astype(np.int64),
+                (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
+            )
+
+    def contains(self, keys) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        h1, h2 = _hash2(keys)
+        out = np.ones(len(h1), dtype=bool)
+        for i in range(self.k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+            bit = (
+                self.bits[(idx >> np.uint64(3)).astype(np.int64)]
+                >> (idx & np.uint64(7)).astype(np.uint8)
+            ) & 1
+            out &= bit.astype(bool)
+        return out
+
+    def merge(self, other: "Bloom") -> "Bloom":
+        assert (self.m, self.k) == (other.m, other.k)
+        return Bloom(self.m, self.k, np.bitwise_or(self.bits, other.bits))
+
+
+def build_from_dataset(ds, *, key_col: str, n_expected: int,
+                       fpr: float = 0.01) -> Bloom:
+    """Distributed construction: one partial bit array per block,
+    OR-merged in any order (associative — pinned in tests)."""
+    m, k = params_for(n_expected, fpr)
+
+    def per_block(b: pa.Table) -> pa.Table:
+        bl = Bloom(m, k)
+        col = b.column(key_col)
+        bl.add(col.to_numpy(zero_copy_only=False))
+        return pa.table({"bits": pa.array([bl.bits.tobytes()], pa.binary())})
+
+    out = Bloom(m, k)
+    for blk in ds.map_batches(per_block, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for raw in blk.column("bits").to_pylist():
+            out.bits |= np.frombuffer(raw, dtype=np.uint8)
+    return out
+
+
+def bloom_blocklist_filter(ds, blocked, *, key_col: str, fpr: float = 0.01):
+    """Drop rows whose ``key_col`` is in ``blocked`` (an iterable of
+    keys), EXACTLY, using a Bloom prefilter so the per-row cost on the
+    (overwhelmingly common) clean rows is k bit probes with no
+    set/dict in sight. Maybe-rows verify against the exact blocklist;
+    at 10^9-key scale that verification becomes the co-partitioned
+    lookup join and only the maybes shuffle.
+    """
+    import ray
+
+    blocked = list(blocked)
+    m, k = params_for(len(blocked), fpr)
+    bl = Bloom(m, k)
+    bl.add(np.asarray(blocked, dtype=object))
+    bits_ref = ray.put(bl.bits)
+    exact_ref = ray.put(set(blocked))
+
+    def f(b: pa.Table) -> pa.Table:
+        bloom = Bloom(m, k, ray.get(bits_ref))  # zero-copy shared bits
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        maybe = bloom.contains(keys)
+        if maybe.any():
+            exact = ray.get(exact_ref)
+            hit = np.zeros(len(keys), dtype=bool)
+            mi = np.flatnonzero(maybe)
+            hit[mi] = [keys[j] in exact for j in mi]
+        else:
+            hit = maybe
+        return b.filter(pa.array(~hit))
+
+    return ds.map_batches(f, batch_format="pyarrow")

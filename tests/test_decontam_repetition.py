@@ -216,3 +216,37 @@ def test_hist_quantiles_block_split_invariant(ray_session):
     for q, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
         want = int(binned[math.ceil(q * len(binned)) - 1])
         assert results[0][col][0] == want, (q, results[0][col], want)
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    import numpy as np
+
+    from gocrd_ray.stages.bloom import Bloom, params_for
+
+    blocked = [f"host{i}.example.com" for i in range(5000)]
+    m, k = params_for(len(blocked), fpr=0.01)
+    bl = Bloom(m, k)
+    bl.add(np.asarray(blocked, dtype=object))
+    # invariant: NO false negatives, ever
+    assert bl.contains(np.asarray(blocked, dtype=object)).all()
+    # statistical: false-positive rate near target on fresh keys
+    fresh = np.asarray([f"clean{i}.other.net" for i in range(20000)],
+                       dtype=object)
+    fpr = bl.contains(fresh).mean()
+    assert fpr < 0.03, fpr
+
+
+def test_bloom_distributed_build_merge_invariant(ray_session):
+    import numpy as np
+    import ray.data
+
+    from gocrd_ray.stages.bloom import Bloom, build_from_dataset, params_for
+
+    keys = [f"k{i}" for i in range(3000)]
+    m, k = params_for(len(keys), fpr=0.01)
+    ref = Bloom(m, k)
+    ref.add(np.asarray(keys, dtype=object))
+    for blocks in (1, 13):
+        ds = ray.data.from_items([{"key": s} for s in keys]).repartition(blocks)
+        built = build_from_dataset(ds, key_col="key", n_expected=len(keys))
+        assert (built.bits == ref.bits).all(), blocks
