@@ -2074,6 +2074,17 @@ def q_bloom_blocklist(sf_dir: str):
 SQL_BLOOM_BLOCKLIST = SQL_BLOCKLIST_FILTER
 
 
+def q_top_tokens_bounded(sf_dir: str):
+    """Exact top-20 tokens with O(cap) summary state per block
+    (Misra–Gries family: block top-C summaries → candidate union →
+    exact recount of candidates only) — the bounded-vocabulary form of
+    `top_tokens`, same oracle; the n/cap guarantee is checked and the
+    operator raises rather than silently missing a heavy hitter."""
+    from ..stages import heavyhitters
+
+    return heavyhitters.top_k_bounded(_docs(sf_dir), k=20, cap=2048)
+
+
 QUERIES = {
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
@@ -2135,6 +2146,7 @@ QUERIES = {
     "token_rank": (q_token_rank, SQL_TOKEN_RANK),
     "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
     "bloom_blocklist": (q_bloom_blocklist, SQL_BLOOM_BLOCKLIST),
+    "top_tokens_bounded": (q_top_tokens_bounded, SQL_TOP_TOKENS),
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
     "distinct_tokens_sketch": (q_distinct_tokens, None),

@@ -274,3 +274,10 @@ def _bloom_blocklist(ds, *, blocked, key_col, **cfg):
     from ..stages.bloom import bloom_blocklist_filter
 
     return bloom_blocklist_filter(ds, blocked, key_col=key_col, **cfg)
+
+
+@step("top_tokens_bounded")
+def _top_tokens_bounded(ds, **cfg):
+    from ..stages.heavyhitters import top_k_bounded
+
+    return top_k_bounded(ds, **cfg)

@@ -250,3 +250,26 @@ def test_bloom_distributed_build_merge_invariant(ray_session):
         ds = ray.data.from_items([{"key": s} for s in keys]).repartition(blocks)
         built = build_from_dataset(ds, key_col="key", n_expected=len(keys))
         assert (built.bits == ref.bits).all(), blocks
+
+
+def test_top_k_bounded_tiny_cap_equals_exact_or_raises(ray_session):
+    import collections
+
+    import pytest
+    import ray.data
+
+    from gocrd_ray.stages.heavyhitters import top_k_bounded
+
+    # zipf-ish: token t_i appears (40 - i) times
+    rows = []
+    for i in range(40):
+        rows.extend({"text": f"t{i:02d}"} for _ in range(40 - i))
+    ds = ray.data.from_items(rows).repartition(6)
+    exact = collections.Counter(r["text"] for r in rows)
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = top_k_bounded(ds, k=5, cap=64, text_col="text")
+    assert list(zip(got.column("token").to_pylist(),
+                    got.column("n").to_pylist())) == want
+    # cap too small for the guarantee → loud failure, not silence
+    with pytest.raises(RuntimeError):
+        top_k_bounded(ds, k=5, cap=2, text_col="text")
