@@ -26,15 +26,18 @@ import pyarrow.compute as pc
 
 
 def _hash2(keys) -> tuple[np.ndarray, np.ndarray]:
-    """Two independent 64-bit hash streams for double hashing
+    """Two INDEPENDENT 64-bit hash streams for double hashing
     (Kirsch–Mitzenmacher: h1 + i·h2 is as good as k independent
-    hashes)."""
+    hashes — but only if h2 is not a function of h1, else all k
+    probes collide whenever h1 does and the fpr sizing formula no
+    longer holds). Independence comes from a second SipHash key."""
     import pandas as pd
 
-    h1 = pd.util.hash_array(
-        np.asarray(keys, dtype=object), categorize=False
-    ).astype(np.uint64)
-    h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    arr = np.asarray(keys, dtype=object)
+    h1 = pd.util.hash_array(arr, categorize=False).astype(np.uint64)
+    h2 = pd.util.hash_array(
+        arr, categorize=False, hash_key="gocrd_bloom_h2_k"
+    ).astype(np.uint64) | np.uint64(1)
     return h1, h2
 
 
@@ -108,13 +111,40 @@ def build_from_dataset(ds, *, key_col: str, n_expected: int,
     return out
 
 
-def bloom_blocklist_filter(ds, blocked, *, key_col: str, fpr: float = 0.01):
+class BloomBlocklistFilter:
+    """Actor-pool stage: both broadcasts are fetched ONCE per actor in
+    ``__init__`` — the bit array is a zero-copy shared ndarray, but the
+    exact set is a Python object that costs a full unpickle per
+    ``ray.get``, so fetching it per batch (the naive closure form)
+    would deserialize the whole blocklist on every maybe-containing
+    batch and erase the Bloom filter's entire point."""
+
+    def __init__(self, bits_ref, exact_ref, *, m: int, k: int,
+                 key_col: str):
+        import ray
+
+        self.bloom = Bloom(m, k, ray.get(bits_ref))
+        self.exact = ray.get(exact_ref)
+        self.key_col = key_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        keys = b.column(self.key_col).to_numpy(zero_copy_only=False)
+        maybe = self.bloom.contains(keys)
+        hit = np.zeros(len(keys), dtype=bool)
+        if maybe.any():
+            mi = np.flatnonzero(maybe)
+            hit[mi] = [keys[j] in self.exact for j in mi]
+        return b.filter(pa.array(~hit))
+
+
+def bloom_blocklist_filter(ds, blocked, *, key_col: str, fpr: float = 0.01,
+                           concurrency=(1, 4)):
     """Drop rows whose ``key_col`` is in ``blocked`` (an iterable of
     keys), EXACTLY, using a Bloom prefilter so the per-row cost on the
     (overwhelmingly common) clean rows is k bit probes with no
-    set/dict in sight. Maybe-rows verify against the exact blocklist;
-    at 10^9-key scale that verification becomes the co-partitioned
-    lookup join and only the maybes shuffle.
+    set/dict in sight. Maybe-rows verify against the exact blocklist
+    (fetched once per actor); at 10^9-key scale that verification
+    becomes the co-partitioned lookup join and only the maybes shuffle.
     """
     import ray
 
@@ -125,17 +155,12 @@ def bloom_blocklist_filter(ds, blocked, *, key_col: str, fpr: float = 0.01):
     bits_ref = ray.put(bl.bits)
     exact_ref = ray.put(set(blocked))
 
-    def f(b: pa.Table) -> pa.Table:
-        bloom = Bloom(m, k, ray.get(bits_ref))  # zero-copy shared bits
-        keys = b.column(key_col).to_numpy(zero_copy_only=False)
-        maybe = bloom.contains(keys)
-        if maybe.any():
-            exact = ray.get(exact_ref)
-            hit = np.zeros(len(keys), dtype=bool)
-            mi = np.flatnonzero(maybe)
-            hit[mi] = [keys[j] in exact for j in mi]
-        else:
-            hit = maybe
-        return b.filter(pa.array(~hit))
-
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(
+        BloomBlocklistFilter,
+        fn_constructor_kwargs={
+            "bits_ref": bits_ref, "exact_ref": exact_ref,
+            "m": m, "k": k, "key_col": key_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -13,6 +13,14 @@ actor-pool map — no shuffle at all. The eval side is one tiny
 pipeline. `hashed=True` broadcasts 64-bit SipHash gram hashes
 (8 bytes/gram, np.isin against a sorted array) instead of the gram
 strings; string mode is the byte-exact form the SQL oracle checks.
+
+Hashed-mode caveat (NOT a pure optimization): a 64-bit collision
+between a corpus gram and an eval gram flags a clean document. At
+~10^6 eval grams × 10^12 corpus grams expect ~50 collisions overall —
+each drops one clean doc from the training set (never the reverse:
+real contamination is always caught). Acceptable for a dedup-style
+hygiene pass; use string mode when the false-positive rate must be
+exactly zero.
 """
 
 from __future__ import annotations

@@ -18,11 +18,19 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# (name, RE2 pattern, replacement) — order matters, see module docstring
+# (name, RE2 pattern, replacement) — order matters, see module docstring.
+# ipv4 requires valid octets (0-255) so version strings like 10.20.30.999
+# stay untouched; phone requires the NANP 3-3-4 grouping WITH separators
+# (optional +CC), so ISO dates (4-2-2), year lists (4-4-4) and bare digit
+# runs are not destroyed — international formats without that grouping are
+# deliberately out of scope and documented, not silently approximated.
+_OCTET = r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
 PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
-    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
-    ("phone", r"\+?\d[\d\- ]{7,}\d", "[PHONE]"),
+    ("ipv4", r"\b" + _OCTET + r"(?:\." + _OCTET + r"){3}\b", "[IP]"),
+    ("phone",
+     r"(?:\+\d{1,2}[ \-])?\(?\d{3}\)?[ \-]\d{3}[ \-]\d{4}\b",
+     "[PHONE]"),
 )
 
 

@@ -44,7 +44,18 @@ def global_rank(ds, *, key_col: str, id_col: str = "doc_id",
     sign = np.int64(-1) if descending else np.int64(1)
 
     def keyed(b: pa.Table) -> pa.Table:
-        k = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        kc = b.column(key_col)
+        ic = b.column(id_col)
+        # a null-containing int column round-trips through float64 in
+        # to_numpy: NaN → INT64_MIN on astype (silently ranking nulls
+        # first) and keys > 2^53 lose bits — exact ranking of null keys
+        # is undefined, so refuse loudly; filter or fill upstream
+        if kc.null_count or ic.null_count:
+            raise ValueError(
+                f"global_rank: null values in {key_col!r}/{id_col!r} — "
+                "drop or fill them before ranking"
+            )
+        k = kc.to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 id_col: pc.cast(b.column(id_col), pa.int64()),

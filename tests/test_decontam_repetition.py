@@ -111,13 +111,34 @@ def test_pii_redact_batch_patterns():
     )
     assert out.column("n_email").to_pylist() == [2, 0, 0, 0]
     assert out.column("n_ipv4").to_pylist() == [0, 1, 1, 0]
-    assert out.column("n_phone").to_pylist() == [0, 1, 1, 0]
+    # bare digit runs are deliberately NOT phones (3-3-4 grouping with
+    # separators required — dates/years/ids must survive)
+    assert out.column("n_phone").to_pylist() == [0, 1, 0, 0]
     red = out.column("text_redacted").to_pylist()
     assert red[0] == "mail [EMAIL] and [EMAIL]"
     assert red[1] == "ip [IP] phone [PHONE]"
     # the 5-octet run matches the ipv4 pattern on its first 4 octets
-    assert red[2] == "overlong [IP].5 bare [PHONE]"
+    assert red[2] == "overlong [IP].5 bare 123456789012"
     assert red[3] == ""
+
+
+def test_pii_spares_dates_years_versions():
+    import pyarrow as pa
+
+    from gocrd_ray.stages.pii import redact_batch
+
+    clean = [
+        "date 2026-08-17 end",
+        "years 2020 2021 2022 here",
+        "ver 10.20.30.999 x",
+        "digits 123456789012",
+    ]
+    out = redact_batch(
+        pa.table({"doc_id": list(range(len(clean))), "text": clean})
+    )
+    assert out.column("text_redacted").to_pylist() == clean
+    for name in ("n_email", "n_ipv4", "n_phone"):
+        assert out.column(name).to_pylist() == [0] * len(clean), name
 
 
 def test_pii_redaction_order_prevents_overmatching():
