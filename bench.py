@@ -55,6 +55,7 @@ QUERY_NAMES = [
     "normalize_text",
     "token_rank",
     "length_quantiles",
+    "top_tokens_bounded",
 ]
 
 
