@@ -56,6 +56,7 @@ QUERY_NAMES = [
     "token_rank",
     "length_quantiles",
     "top_tokens_bounded",
+    "pipeline_hygiene",
 ]
 
 

@@ -2085,6 +2085,186 @@ def q_top_tokens_bounded(sf_dir: str):
     return heavyhitters.top_k_bounded(_docs(sf_dir), k=20, cap=2048)
 
 
+def q_pipeline_hygiene(sf_dir: str):
+    """The full text-hygiene chain composed end to end in ONE checked
+    query: deterministic dirt injection → benchmark decontamination
+    (4-gram vs the doc_id%97==3 eval slice) → duplicate-line gate
+    (drop any doc with repeated lines) → canonical normalization →
+    PII redaction. Every stage is the same operator the standalone
+    queries check; the SQL mirror composes their mirrors, so the
+    CHAIN is bit-checked, not just the pieces. Output: the surviving
+    clean corpus with redacted text and audit counts."""
+    from ..stages import decontam, pii, repetition, text_stats
+
+    base = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("text"))),
+        batch_format="pyarrow",
+    )
+
+    def inject(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        ids_s = pc.cast(b.column("doc_id"), pa.string())
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        # same residue classes as the standalone queries, applied in a
+        # fixed order mirrored by the SQL
+        txt = pc.if_else(
+            pa.array(ids % 7 == 0),
+            pc.binary_join_element_wise(txt, txt, "\n"), txt,
+        )
+        txt = pc.if_else(
+            pa.array(ids % 11 == 0),
+            pc.binary_join_element_wise(
+                txt, pc.binary_join_element_wise(
+                    pa.array(["contact user"] * len(b)), ids_s,
+                    "@example.com", ""
+                ), " "
+            ), txt,
+        )
+        oct3 = pc.cast(pa.array(ids % 256), pa.string())
+        txt = pc.if_else(
+            pa.array(ids % 13 == 0),
+            pc.binary_join_element_wise(
+                txt, pc.binary_join_element_wise(
+                    pa.array(["from 10.0."] * len(b)), oct3, ".7", ""
+                ), " "
+            ), txt,
+        )
+        txt = pc.if_else(
+            pa.array(ids % 17 == 0),
+            pc.binary_join_element_wise(txt, "call +1 555-000-1234", " "),
+            txt,
+        )
+        txt = pc.if_else(
+            pa.array(ids % 19 == 0),
+            pc.binary_join_element_wise(
+                "\x01pre\x02 ", txt, " \x1ftail", ""
+            ), txt,
+        )
+        return pa.table({"doc_id": b.column("doc_id"), "text": txt})
+
+    injected = base.map_batches(inject, batch_format="pyarrow")
+
+    def mod_filter(want_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = b.column("doc_id").to_numpy(zero_copy_only=False) % 97 == 3
+            return b.filter(pa.array(m if want_eval else ~m))
+
+        return f
+
+    ev = injected.map_batches(mod_filter(True), batch_format="pyarrow")
+    corpus = injected.map_batches(mod_filter(False), batch_format="pyarrow")
+
+    flagged = decontam.decontaminate(corpus, ev, n=4)
+    clean = flagged.map_batches(
+        lambda b: b.filter(pc.invert(b.column("contaminated"))).select(
+            ["doc_id", "text"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def no_dup_lines(b: pa.Table) -> pa.Table:
+        rep = repetition.repetition_stats_batch(b)
+        keep = pc.equal(rep.column("n_dup_lines"), 0)
+        return b.filter(keep)
+
+    gated = clean.map_batches(no_dup_lines, batch_format="pyarrow")
+
+    normed = text_stats.normalize_text(gated)
+
+    def renamed(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "text": b.column("text_norm")}
+        )
+
+    return pii.redact_pii(normed.map_batches(renamed, batch_format="pyarrow"))
+
+
+SQL_PIPELINE_HYGIENE = f"""
+WITH injected AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 19 = 0
+         THEN chr(1) || 'pre' || chr(2) || ' ' || t4 || ' ' || chr(31) || 'tail'
+         ELSE t4 END AS text
+  FROM (
+    SELECT doc_id,
+      CASE WHEN doc_id % 17 = 0 THEN t3 || ' call +1 555-000-1234'
+           ELSE t3 END AS t4
+    FROM (
+      SELECT doc_id,
+        CASE WHEN doc_id % 13 = 0
+             THEN t2 || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+             ELSE t2 END AS t3
+      FROM (
+        SELECT doc_id,
+          CASE WHEN doc_id % 11 = 0
+               THEN t1 || ' contact user' || doc_id::VARCHAR || '@example.com'
+               ELSE t1 END AS t2
+        FROM (
+          SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || text
+                 ELSE text END AS t1
+          FROM documents WHERE text IS NOT NULL
+        )
+      )
+    )
+  )
+),
+toks AS (SELECT doc_id, string_split(text,' ') AS ts FROM injected),
+flat AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts,1) AS ord
+         FROM toks),
+grams AS (
+  SELECT a.doc_id, a.tok||' '||b.tok||' '||c.tok||' '||d.tok AS gram
+  FROM flat a
+  JOIN flat b ON b.doc_id=a.doc_id AND b.ord=a.ord+1
+  JOIN flat c ON c.doc_id=a.doc_id AND c.ord=a.ord+2
+  JOIN flat d ON d.doc_id=a.doc_id AND d.ord=a.ord+3
+),
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 3),
+contaminated AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN ev ON g.gram = ev.gram
+  WHERE g.doc_id % 97 != 3
+),
+lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM injected WHERE doc_id % 97 != 3
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+dupped AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line
+  ) GROUP BY doc_id HAVING sum(c) - count(*) > 0
+),
+survivors AS (
+  SELECT doc_id, text FROM injected
+  WHERE doc_id % 97 != 3
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND doc_id NOT IN (SELECT doc_id FROM dupped)
+),
+normed AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(nfc_normalize(text),
+              '{text_stats.NORM_CTRL_RE}', '', 'g'),
+              '{text_stats.NORM_WS_RE}', ' ', 'g'), ' ') AS text
+  FROM survivors
+),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(text, '{_PII_E}'))::BIGINT AS n_email,
+              regexp_replace(text, '{_PII_E}', '[EMAIL]', 'g') AS t
+       FROM normed),
+s2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t, '{_PII_I}'))::BIGINT AS n_ipv4,
+              regexp_replace(t, '{_PII_I}', '[IP]', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ipv4,
+              len(regexp_extract_all(t, '{_PII_P}'))::BIGINT AS n_phone,
+              regexp_replace(t, '{_PII_P}', '[PHONE]', 'g') AS t FROM s2)
+SELECT doc_id, t AS text_redacted, n_email, n_ipv4, n_phone FROM s3
+"""
+
+
 QUERIES = {
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
@@ -2147,6 +2327,7 @@ QUERIES = {
     "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
     "bloom_blocklist": (q_bloom_blocklist, SQL_BLOOM_BLOCKLIST),
     "top_tokens_bounded": (q_top_tokens_bounded, SQL_TOP_TOKENS),
+    "pipeline_hygiene": (q_pipeline_hygiene, SQL_PIPELINE_HYGIENE),
     # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
     "dedup_minhash": (q_dedup_minhash, None),
     "distinct_tokens_sketch": (q_distinct_tokens, None),
