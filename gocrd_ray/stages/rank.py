@@ -66,13 +66,21 @@ def global_rank(ds, *, key_col: str, id_col: str = "doc_id",
 
     narrow = ds.map_batches(keyed, batch_format="pyarrow").materialize()
 
-    # pass 0: deterministic sample → cutpoints
-    samples = []
-    for b in narrow.select_columns(["__k"]).iter_batches(batch_format="pyarrow"):
+    # pass 0: deterministic sample → cutpoints. Sampling happens INSIDE
+    # map_batches (each block emits ≤ sample_per_block keys), so the
+    # driver pulls O(n_blocks × sample_per_block) rows — never the
+    # full key column.
+    def sample_block(b: pa.Table) -> pa.Table:
         ks = np.sort(b.column("__k").to_numpy(zero_copy_only=False))
         stride = max(1, len(ks) // sample_per_block)
-        samples.append(ks[::stride])
-    allsamp = np.sort(np.concatenate(samples)) if samples else np.array([], np.int64)
+        return pa.table({"__k": pa.array(ks[::stride][:sample_per_block])})
+
+    samp_rows = (
+        narrow.select_columns(["__k"])
+        .map_batches(sample_block, batch_format="pyarrow")
+        .take_all()
+    )
+    allsamp = np.sort(np.array([r["__k"] for r in samp_rows], dtype=np.int64))
     if len(allsamp) > n_buckets - 1:
         idx = np.linspace(0, len(allsamp) - 1, n_buckets - 1).astype(np.int64)
         cuts = np.unique(allsamp[idx])
@@ -107,15 +115,12 @@ def global_rank(ds, *, key_col: str, id_col: str = "doc_id",
         local_rank, batch_format="pyarrow"
     ).materialize()
 
-    # bucket sizes → prefix offsets (one int per bucket on the driver)
-    counts: dict[int, int] = {}
-    for b in ranked_local.select_columns(["__bucket"]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        bk = b.column("__bucket").to_numpy(zero_copy_only=False)
-        u, c = np.unique(bk, return_counts=True)
-        for bb, cc in zip(u.tolist(), c.tolist()):
-            counts[bb] = counts.get(bb, 0) + cc
+    # bucket sizes → prefix offsets: distributed count, then one tiny
+    # (bucket, count) table on the driver — O(n_buckets), never O(n)
+    counts: dict[int, int] = {
+        int(r["__bucket"]): int(r["count()"])
+        for r in ranked_local.groupby("__bucket").count().take_all()
+    }
     offsets = {}
     acc = 0
     for bb in sorted(counts):

