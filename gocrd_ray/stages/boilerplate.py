@@ -154,6 +154,14 @@ class _BlockParser(_BlockSink, HTMLParser):
 
 import re as _re
 
+# CPython html.parser's own tolerant tokenizers, reused verbatim so the
+# self-closing decision below is bit-identical to parse_starttag's: an
+# unquoted attribute value greedily eats a trailing '/' (so
+# <a href=http://x.com/> is a NORMAL start tag), while a '/' left over
+# after attribute tokenization makes the tag self-closing (<br/>).
+from html.parser import attrfind_tolerant as _ATTRFIND
+from html.parser import tagfind_tolerant as _TAGFIND
+
 # one pass over the byte stream: every '<'-construct the stdlib parser
 # recognizes, matched in C. Attribute soup inside a tag is consumed by
 # the quoted-string-aware attr tail.
@@ -242,6 +250,22 @@ class _FastBlockScanner(_BlockSink):
                 continue
             tag = m.group(1).lower()
             attrs_s = m.group(2)
+            endpos = m.end()
+            # replicate parse_starttag's leftover rule with the stdlib's
+            # own regexes: tokenize name + attrs, then the stripped
+            # remainder decides — '>' normal, '/>' self-closing, junk
+            # falls back to literal data (html.parser ~parse_starttag)
+            k = _TAGFIND.match(text, lt + 1).end()
+            while k < endpos - 1:
+                am = _ATTRFIND.match(text, k)
+                if not am:
+                    break
+                k = am.end()
+            leftover = text[k:endpos].strip()
+            if leftover not in (">", "/>"):
+                self.handle_data(text[lt:endpos])
+                pos = endpos
+                continue
             attrs: list = []
             if tag == "a" and "href" in attrs_s.lower():
                 hm = _HREF_RE.search(attrs_s)
@@ -249,8 +273,8 @@ class _FastBlockScanner(_BlockSink):
                     v = hm.group(2) or hm.group(3) or hm.group(4) or ""
                     attrs = [("href", unescape(v) if "&" in v else v)]
             self.handle_starttag(tag, attrs)
-            pos = m.end()
-            if attrs_s.rstrip().endswith("/"):
+            pos = endpos
+            if leftover == "/>":
                 self.handle_endtag(tag)  # self-closing <br/>
             elif tag in ("script", "style"):
                 # CDATA content model: raw text until the matching

@@ -97,6 +97,17 @@ SOUP_CASES = [
     "<p =bare>odd attrs</p>",
     "<p\nmulti\nline\nattrs='1'>ml</p>",
     "<b<",
+    # unquoted attr values ending in '/' are NOT self-closing (ADVICE r2):
+    # the '/' belongs to the value, so the anchor stays open over its text
+    "<a href=http://x.com/>ten chars!</a><p>plain text that is long</p>",
+    "<div id=a/>inside still in div<p>more text here</p>",
+    "<input value=a/><p>after input</p>",
+    # '/' separated from '>' is attr-tail noise, not self-closing
+    "<div / >in div</div>",
+    "<div/ >also in div</div>",
+    # quoted value + '/>' IS self-closing
+    "<p foo='b'/>closed already<p>real paragraph text</p>",
+    "<a href='/q'/>not a link text</a><p>tail</p>",
 ]
 
 
@@ -136,6 +147,7 @@ def test_fast_scanner_parity_random_soup():
         "&amp;", "&", "txt ", "<!-- c -->", "<br/>", "<script>", "</script>",
         "word", " ", "<nav>", "</nav>", "<b", "='q'>", "<!doctype>", "</>",
         "&#65;", "<![CDATA[x]]>",
+        "<a href=http://x/>", "<div id=a/>", "/>", " / >", "<img src=/p/>",
     ]
     for _ in range(1500):
         s = "".join(rng.choice(toks) for _ in range(rng.randint(1, 30)))
