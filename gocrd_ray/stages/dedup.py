@@ -379,15 +379,14 @@ def _bucket_pairs(buckets_ds, *, band_col: str, key_col: str, id_col: str,
     )
 
 
-def lsh_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
-                        id_col: str = "doc_id", shard: int | None = None,
-                        n_shards: int = 1):
-    """MinHash+LSH candidate pairs: shingle → signature → band-bucket
-    groupby → within-bucket pairs (SURVEY-plus operator; no reference
-    analog — [scale]).
-
-    Returns a Dataset of (id_a, id_b, n_buckets) with id_a < id_b;
-    n_buckets = number of bands in which the pair collided (≥1).
+def lsh_raw_band_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
+                       id_col: str = "doc_id", shard: int | None = None,
+                       n_shards: int = 1):
+    """Raw per-band LSH collisions: (id_a, id_b, n=1) with one row per
+    band in which the pair collided — i.e. ``lsh_candidate_pairs``
+    WITHOUT the distinct groupby. Consumers that tolerate duplicate
+    pairs (``attach_pair_lookup`` dedups them in its regroup) feed on
+    this directly and save a whole all-to-all.
     """
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
@@ -451,8 +450,22 @@ def lsh_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
 
         buckets = buckets.map_batches(only_shard, batch_format="pyarrow")
 
-    pairs = _bucket_pairs(buckets, band_col="band", key_col="bkey",
-                          id_col=id_col)
+    return _bucket_pairs(buckets, band_col="band", key_col="bkey",
+                         id_col=id_col)
+
+
+def lsh_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
+                        id_col: str = "doc_id", shard: int | None = None,
+                        n_shards: int = 1):
+    """MinHash+LSH candidate pairs: shingle → signature → band-bucket
+    groupby → within-bucket pairs (SURVEY-plus operator; no reference
+    analog — [scale]).
+
+    Returns a Dataset of (id_a, id_b, n_buckets) with id_a < id_b;
+    n_buckets = number of bands in which the pair collided (≥1).
+    """
+    pairs = lsh_raw_band_pairs(ds, num_perm=num_perm, bands=bands, k=k,
+                               id_col=id_col, shard=shard, n_shards=n_shards)
     # collapse duplicate pairs across bands
     agg = pairs.groupby(["id_a", "id_b"]).sum("n")
 
@@ -720,6 +733,212 @@ def attach_column_lookup(pairs_ds, lookup_ds, *, key_col: str, out_col: str,
     return both.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def attach_pair_lookup(pairs_ds, lookup_ds, *, id_col: str, value_col: str,
+                       value_type: pa.DataType, out_a: str, out_b: str,
+                       n_buckets: int = 32, num_blocks: int | None = None):
+    """ONE-shuffle pair attach (r2 verdict #3 / ROADMAP #8): bring
+    ``lookup_ds``'s ``value_col`` onto BOTH sides of (id_a, id_b)
+    candidate pairs while the lookup table crosses the wire once.
+
+    Shape: each pair explodes into two NARROW keyed rows (id_a, id_b,
+    side, key = that side's id); exploded rows and lookup rows
+    co-locate by hash(key) — the only shuffle the lookup values ride —
+    and each exploded row picks up its value via vectorized
+    ``index_in`` + ``take``. A second exchange regroups by a
+    pair-bucket key and a stride-2 lexsort reassembles
+    (id_a, id_b, val_a, val_b); it moves exactly two value payloads
+    per pair, never the lookup table.
+
+    vs chaining ``attach_column_lookup`` once per side: the lookup
+    table shuffles ONCE instead of twice and the all-to-all count is
+    unchanged (two), so total exchange bytes drop by ~one lookup-table
+    pass (the r2-measured improvable term in dedup_verified /
+    neardup_cosine).
+
+    Candidate ids absent from ``lookup_ds`` surface as null values
+    (callers skip them — dangling candidates). Duplicate (id_a, id_b)
+    rows in ``pairs_ds`` are welcome and collapse to ONE output row:
+    every copy of a pair hashes to the same pair bucket, so the regroup
+    lexsort dedups them in place — which is what lets callers feed RAW
+    multi-band LSH collisions straight in and skip the distinct
+    groupby (one whole all-to-all) they used to need. Returns a
+    Dataset of (id_a, id_b, out_a, out_b), one row per distinct pair.
+
+    ``num_blocks``: when the caller KNOWS both streams are small (e.g.
+    a materialized candidate table + a prefiltered lookup), coalescing
+    the union to ~rows/8k blocks before the groupbys removes the
+    per-block scheduling overhead that otherwise dominates (measured
+    4× at sf0.1: 64 mostly-empty blocks → 8). Leave None whenever the
+    lookup side is corpus-sized — block count must scale with data.
+    """
+    union_schema = pa.schema(
+        [
+            pa.field("id_a", pa.int64()),
+            pa.field("id_b", pa.int64()),
+            pa.field("__side", pa.int8()),  # 0 = a-side, 1 = b-side, 2 = lookup
+            pa.field("__key", pa.int64()),
+            pa.field("__sh", value_type),
+            pa.field("__bucket", pa.int32()),
+            pa.field("__pb", pa.int32()),
+        ]
+    )
+    mid_schema = pa.schema(
+        [
+            pa.field("id_a", pa.int64()),
+            pa.field("id_b", pa.int64()),
+            pa.field("__side", pa.int8()),
+            pa.field("__sh", value_type),
+            pa.field("__pb", pa.int32()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            pa.field("id_a", pa.int64()),
+            pa.field("id_b", pa.int64()),
+            pa.field(out_a, value_type),
+            pa.field(out_b, value_type),
+        ]
+    )
+
+    def _aligned(b: pa.Table, target: pa.Schema) -> pa.Table:
+        cols = []
+        for f in target:
+            if f.name in b.column_names:
+                cols.append(pc.cast(b.column(f.name), f.type))
+            else:
+                cols.append(pa.nulls(len(b), f.type))
+        return pa.Table.from_arrays(cols, schema=target)
+
+    def _key_bucket(k: np.ndarray) -> np.ndarray:
+        h = k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return ((h >> np.uint64(17)) % np.uint64(n_buckets)).astype(np.int32)
+
+    def _pair_bucket(ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+        h = (
+            ia.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + ib.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+        )
+        return ((h >> np.uint64(13)) % np.uint64(n_buckets)).astype(np.int32)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ia = pc.cast(b.column("id_a"), pa.int64()).to_numpy(zero_copy_only=False)
+        ib = pc.cast(b.column("id_b"), pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ia)
+        pb = _pair_bucket(ia, ib)
+        t = pa.table(
+            {
+                "id_a": pa.array(np.concatenate([ia, ia])),
+                "id_b": pa.array(np.concatenate([ib, ib])),
+                "__side": pa.array(
+                    np.repeat(np.array([0, 1], np.int8), n)
+                ),
+                "__key": pa.array(np.concatenate([ia, ib])),
+                "__bucket": pa.array(
+                    np.concatenate([_key_bucket(ia), _key_bucket(ib)])
+                ),
+                "__pb": pa.array(np.concatenate([pb, pb])),
+            }
+        )
+        return _aligned(t, union_schema)
+
+    def tag_lookup(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "__key": pc.cast(b.column(id_col), pa.int64()),
+                "__sh": pc.cast(b.column(value_col), value_type),
+            }
+        )
+        key = t.column("__key").to_numpy(zero_copy_only=False)
+        t = t.append_column("__bucket", pa.array(_key_bucket(key)))
+        t = t.append_column("__side", pa.array(np.full(len(t), 2, np.int8)))
+        return _aligned(t, union_schema)
+
+    both = pairs_ds.map_batches(explode, batch_format="pyarrow").union(
+        lookup_ds.map_batches(tag_lookup, batch_format="pyarrow")
+    )
+    if num_blocks is not None:
+        both = both.repartition(num_blocks)
+
+    def per_key_bucket(group: pa.Table) -> pa.Table:
+        smask = pc.equal(group.column("__side"), 2)
+        srows = group.filter(smask)
+        prows = group.filter(pc.invert(smask))
+        skeys = srows.column("__key")
+        if isinstance(skeys, pa.ChunkedArray):
+            skeys = skeys.combine_chunks()
+        svals = srows.column("__sh")
+        if isinstance(svals, pa.ChunkedArray):
+            svals = svals.combine_chunks()
+        if len(srows):
+            idx = pc.index_in(prows.column("__key"), value_set=skeys)
+            sh = svals.take(idx)
+        else:
+            sh = pa.nulls(len(prows), value_type)
+        out = pa.table(
+            {
+                "id_a": prows.column("id_a"),
+                "id_b": prows.column("id_b"),
+                "__side": prows.column("__side"),
+                "__sh": sh,
+                "__pb": prows.column("__pb"),
+            }
+        )
+        return _aligned(out, mid_schema)
+
+    mid = both.groupby("__bucket").map_groups(
+        per_key_bucket, batch_format="pyarrow"
+    )
+
+    def per_pair_bucket(group: pa.Table) -> pa.Table:
+        ia = group.column("id_a").to_numpy(zero_copy_only=False)
+        ib = group.column("id_b").to_numpy(zero_copy_only=False)
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        sh = group.column("__sh")
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        # run-based pairing: sort by (pair, side); duplicates of a pair
+        # form one side-0 run then one side-1 run — take each run's
+        # first row, so dup pairs collapse to a single output row
+        order = np.lexsort((side, ib, ia))
+        ia_s, ib_s, sd_s = ia[order], ib[order], side[order]
+        new_run = np.ones(len(order), dtype=bool)
+        new_run[1:] = (
+            (ia_s[1:] != ia_s[:-1])
+            | (ib_s[1:] != ib_s[:-1])
+            | (sd_s[1:] != sd_s[:-1])
+        )
+        firsts = np.flatnonzero(new_run)
+        if len(firsts) % 2:
+            raise ValueError(
+                "attach_pair_lookup: a pair is missing one side's "
+                "exploded row — corrupted shuffle input"
+            )
+        ev, od = firsts[0::2], firsts[1::2]
+        if not (
+            np.array_equal(ia_s[ev], ia_s[od])
+            and np.array_equal(ib_s[ev], ib_s[od])
+            and (sd_s[ev] == 0).all()
+            and (sd_s[od] == 1).all()
+        ):
+            raise ValueError(
+                "attach_pair_lookup: pair sides failed to pair up — "
+                "corrupted shuffle input"
+            )
+        out = pa.table(
+            {
+                "id_a": pa.array(ia_s[ev], pa.int64()),
+                "id_b": pa.array(ib_s[ev], pa.int64()),
+                out_a: sh.take(pa.array(order[ev], pa.int64())),
+                out_b: sh.take(pa.array(order[od], pa.int64())),
+            }
+        )
+        return _aligned(out, out_schema)
+
+    return mid.groupby("__pb").map_groups(
+        per_pair_bucket, batch_format="pyarrow"
+    )
+
+
 def _attach_sets(pairs_ds, sets_ds, *, key_col: str, out_col: str,
                  id_col: str, n_buckets: int, pairs_schema=None):
     """Shingle-set specialization of ``attach_column_lookup``."""
@@ -743,11 +962,12 @@ def verified_jaccard_pairs(ds, *, k: int = 3, num_perm: int = 64,
     triples); (2) optional semi-join prefilter so only shingle sets of
     ids that appear in some candidate move any further (candidate ids
     are the near-dup subset — far smaller than the corpus — and are
-    broadcast as one set via ray.put); (3) two co-partitioned lookup
-    joins (``_attach_sets``) to bring both sides' shingle sets onto
-    each pair; (4) vectorized-per-row exact inter/uni + integer
-    threshold. Every shuffle key is a uniform hash; nothing corpus-sized
-    touches the driver.
+    broadcast as one set via ray.put); (3) ONE exploded-pair lookup
+    shuffle (``attach_pair_lookup``) brings both sides' shingle sets
+    onto each pair — the set table crosses the wire once, not once per
+    side; (4) vectorized exact inter/uni + integer threshold. Every
+    shuffle key is a uniform hash; nothing corpus-sized touches the
+    driver.
 
     Equality with the exact all-pairs oracle holds when LSH recall is 1
     at the threshold. With r = num_perm/bands hashes per band, a pair at
@@ -758,7 +978,10 @@ def verified_jaccard_pairs(ds, *, k: int = 3, num_perm: int = 64,
     otherwise it is the documented recall-bounded subset.
     """
     if candidates is None:
-        candidates = lsh_candidate_pairs(
+        # raw per-band collisions — duplicate pairs are fine (the
+        # attach regroup dedups them), so the distinct groupby that
+        # lsh_candidate_pairs would run is skipped: one less all-to-all
+        candidates = lsh_raw_band_pairs(
             ds, num_perm=num_perm, bands=bands, k=k, id_col=id_col
         )
 
@@ -786,44 +1009,89 @@ def verified_jaccard_pairs(ds, *, k: int = 3, num_perm: int = 64,
 
         sets = sets.map_batches(only_referenced, batch_format="pyarrow")
 
-    sets = sets.materialize()  # consumed by both attach passes
-    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
-    sh_field = pa.field("sh_a", pa.list_(pa.string()))
-    with_a = _attach_sets(cand, sets, key_col="id_a", out_col="sh_a",
-                          id_col=id_col, n_buckets=n_buckets,
-                          pairs_schema=pair_schema)
-    with_b = _attach_sets(with_a, sets, key_col="id_b", out_col="sh_b",
-                          id_col=id_col, n_buckets=n_buckets,
-                          pairs_schema=pa.schema(list(pair_schema) + [sh_field]))
+    # one exploded-pair shuffle attaches BOTH sides' shingle sets —
+    # the set table rides a single exchange (r2 verdict #3). With the
+    # prefilter on, total attach rows are bounded by 4×|cand| (two
+    # exploded rows + at most two referenced sets per pair), so the
+    # block count scales with the candidate table, not the corpus.
+    nb = (
+        max(4, min(4096, 4 * cand.count() // 8192 + 1))
+        if prefilter else None
+    )
+    with_both = attach_pair_lookup(
+        cand, sets, id_col=id_col, value_col="sh",
+        value_type=pa.list_(pa.string()), out_a="sh_a", out_b="sh_b",
+        n_buckets=n_buckets, num_blocks=nb,
+    )
+
+    empty_verify = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "inter": pa.array([], pa.int64()),
+            "uni": pa.array([], pa.int64()),
+        }
+    )
 
     def verify(b: pa.Table) -> pa.Table:
-        a_out, b_out, i_out, u_out = [], [], [], []
-        for ia, ib, sa, sb in zip(
-            b.column("id_a").to_pylist(), b.column("id_b").to_pylist(),
-            b.column("sh_a").to_pylist(), b.column("sh_b").to_pylist(),
-        ):
-            if sa is None or sb is None:
-                continue  # dangling candidate id (not in corpus)
-            si, sj = set(sa), set(sb)
-            inter = len(si & sj)
-            uni = len(si) + len(sj) - inter
-            # integer-only threshold (2*inter >= uni ⟺ J >= 0.5), same
-            # as ngram_jaccard_pairs / the SQL oracle
-            if inter > 0 and uni > 0 and 2 * inter >= uni:
-                a_out.append(ia)
-                b_out.append(ib)
-                i_out.append(inter)
-                u_out.append(uni)
+        # vectorized exact Jaccard: shingle lists are DISTINCT per doc
+        # (shingle_sets contract), so |A∩B| = |A| + |B| − distinct(A⧺B).
+        # One factorize over the batch's flattened shingle strings, one
+        # np.unique over (pair, code) keys — no per-row Python sets.
+        rows = b.filter(
+            pc.and_(pc.is_valid(b.column("sh_a")),
+                    pc.is_valid(b.column("sh_b")))
+        )  # dangling candidate ids (not in corpus) → dropped
+        if len(rows) == 0:
+            return empty_verify
+        import pandas as pd
+
+        sa = rows.column("sh_a")
+        sb = rows.column("sh_b")
+        if isinstance(sa, pa.ChunkedArray):
+            sa = sa.combine_chunks()
+        if isinstance(sb, pa.ChunkedArray):
+            sb = sb.combine_chunks()
+        la = pc.list_value_length(sa).to_numpy(zero_copy_only=False).astype(np.int64)
+        lb = pc.list_value_length(sb).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.concatenate(
+            [
+                pc.list_flatten(sa).to_numpy(zero_copy_only=False),
+                pc.list_flatten(sb).to_numpy(zero_copy_only=False),
+            ]
+        )
+        parents = np.concatenate(
+            [
+                pc.list_parent_indices(sa).to_numpy(zero_copy_only=False),
+                pc.list_parent_indices(sb).to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+        codes, uniques = pd.factorize(flat)
+        width = np.int64(len(uniques) + 1)
+        distinct_keys = np.unique(parents * width + codes)
+        uni = np.bincount(
+            (distinct_keys // width).astype(np.int64), minlength=len(rows)
+        ).astype(np.int64)
+        inter = la + lb - uni
+        # integer-only threshold (2*inter >= uni ⟺ J >= 0.5), same as
+        # ngram_jaccard_pairs / the SQL oracle
+        keep = (inter > 0) & (uni > 0) & (2 * inter >= uni)
         return pa.table(
             {
-                "id_a": pa.array(a_out, pa.int64()),
-                "id_b": pa.array(b_out, pa.int64()),
-                "inter": pa.array(i_out, pa.int64()),
-                "uni": pa.array(u_out, pa.int64()),
+                "id_a": pa.array(
+                    rows.column("id_a").to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "id_b": pa.array(
+                    rows.column("id_b").to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "inter": pa.array(inter[keep], pa.int64()),
+                "uni": pa.array(uni[keep], pa.int64()),
             }
         )
 
-    return with_b.map_batches(verify, batch_format="pyarrow")
+    return with_both.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash_candidate_pairs(ds, id_col: str = "doc_id", n_rotations: int = 4,

@@ -253,15 +253,16 @@ def cosine_neardup_pairs_lsh(
 
     Shapes: the band shuffle moves (band:int32, bkey:int64, id) rows;
     pair emission is the sharded vectorized run scan
-    (dedup._bucket_pairs); verification attaches each side's embedding
-    with the bucketed lookup join (dedup.attach_column_lookup) after
-    prefiltering embeddings to candidate ids (the near-dup subset,
-    broadcast as one set).
+    (dedup._bucket_pairs); verification attaches BOTH sides' embeddings
+    through one exploded-pair lookup shuffle (dedup.attach_pair_lookup
+    — the embedding table crosses the wire once, not once per side)
+    after prefiltering embeddings to candidate ids (the near-dup
+    subset, broadcast as one set).
     """
     import ray
     import pyarrow.compute as pc
 
-    from .dedup import _bucket_pairs, attach_column_lookup
+    from .dedup import _bucket_pairs, attach_pair_lookup
 
     emb_type = pa.list_(pa.float32())
 
@@ -274,11 +275,11 @@ def cosine_neardup_pairs_lsh(
         concurrency=(1, 4),
     )
 
-    pairs = _bucket_pairs(sigs, band_col="band", key_col="bkey",
-                          id_col=id_col)
+    # raw per-band collisions go straight to the attach: duplicate
+    # pairs collapse inside attach_pair_lookup's regroup, so the
+    # distinct groupby (a whole all-to-all) is skipped
     cand = (
-        pairs.groupby(["id_a", "id_b"])
-        .sum("n")
+        _bucket_pairs(sigs, band_col="band", key_col="bkey", id_col=id_col)
         .map_batches(
             lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
         )
@@ -305,20 +306,19 @@ def cosine_neardup_pairs_lsh(
             return b.filter(pa.array(np.isin(vals, keep)))
 
         emb = emb.map_batches(only_referenced, batch_format="pyarrow")
-    emb = emb.materialize()
 
-    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
-    with_a = attach_column_lookup(
-        cand, emb, key_col="id_a", out_col="emb_a", id_col=id_col,
-        value_col="embedding", value_type=emb_type, n_buckets=n_buckets,
-        pairs_schema=pair_schema,
+    # one exploded-pair shuffle attaches BOTH sides' embeddings —
+    # the embedding table rides a single exchange (r2 verdict #3);
+    # prefiltered streams are candidate-bounded, so coalesce blocks
+    # to the candidate count, not the corpus block count
+    nb = (
+        max(4, min(4096, 4 * cand.count() // 8192 + 1))
+        if prefilter else None
     )
-    with_b = attach_column_lookup(
-        with_a, emb, key_col="id_b", out_col="emb_b", id_col=id_col,
-        value_col="embedding", value_type=emb_type, n_buckets=n_buckets,
-        pairs_schema=pa.schema(
-            list(pair_schema) + [pa.field("emb_a", emb_type)]
-        ),
+    with_b = attach_pair_lookup(
+        cand, emb, id_col=id_col, value_col="embedding",
+        value_type=emb_type, out_a="emb_a", out_b="emb_b",
+        n_buckets=n_buckets, num_blocks=nb,
     )
 
     def verify(b: pa.Table) -> pa.Table:
