@@ -77,9 +77,15 @@ def _dedup_rows_by_url(b: pa.Table, policy: str, ts_col: str) -> pa.Table:
     Winner order — "latest": (-ts, digest asc); "first": (digest asc).
     Deterministic for both policies regardless of row arrival order, so
     task retries and repeated runs always keep the same survivor.
+
+    Null urls are grouped under "" (one winner for all null-url rows)
+    rather than crashing the lexsort — poison-row principle.
     """
-    urls = np.asarray(b.column("url").to_pylist(), dtype=object)
-    digs = np.asarray(b.column("__dig").to_pylist(), dtype=object)
+    urls = np.asarray(
+        pc.fill_null(pc.cast(b.column("url"), pa.string()), "").to_pylist(),
+        dtype=object,
+    )
+    digs = b.column("__dig").to_numpy(zero_copy_only=False)
     if policy == "latest":
         ts = pc.fill_null(
             pc.cast(b.column(ts_col), pa.int64()), -(2**63) + 1
@@ -114,21 +120,30 @@ def dedup_by_url(pages_ds, policy: str = "first", ts_col: str = "warc_ts",
     """
 
     def add_keys_and_precombine(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
         src = b.column("html") if "html" in b.column_names else b.column("url")
-        digs = [
-            hashlib.md5(
-                v if isinstance(v, (bytes, bytearray)) else str(v).encode()
-            ).hexdigest()
-            for v in src.to_pylist()
-        ]
-        b = b.append_column("__dig", pa.array(digs, pa.string()))
+        # the digest is an INTERNAL deterministic tiebreak (the SQL
+        # mirrors only pin url + lang/ts, and same-url rows carry the
+        # same content), so it does not need md5 parity — vectorized
+        # siphash (fixed pandas key, stable across processes/runs) is
+        # ~5x faster than the old per-row hashlib.md5 loop, and this
+        # runs on EVERY page ahead of the engine's one required shuffle
+        digs = pd.util.hash_array(
+            np.asarray(
+                [v if v is not None else b"" for v in src.to_pylist()],
+                dtype=object,
+            )
+        ).astype(np.uint64)
+        b = b.append_column("__dig", pa.array(digs, pa.uint64()))
         b = _dedup_rows_by_url(b, policy, ts_col)
-        bucket = pa.array(
-            [zlib.crc32(u.encode()) % n_buckets
-             for u in b.column("url").to_pylist()],
-            pa.int32(),
+        urls = np.asarray(
+            pc.fill_null(pc.cast(b.column("url"), pa.string()), "")
+            .to_pylist(),
+            dtype=object,
         )
-        return b.append_column("__bucket", bucket)
+        bucket = (pd.util.hash_array(urls) % n_buckets).astype(np.int32)
+        return b.append_column("__bucket", pa.array(bucket, pa.int32()))
 
     pre = pages_ds.map_batches(add_keys_and_precombine, batch_format="pyarrow")
 
@@ -228,9 +243,9 @@ def _shingle_grams(text: str, k: int) -> list[str]:
 
 def _hash32(values: list[str] | np.ndarray) -> np.ndarray:
     """Deterministic vectorized 32-bit string hashes (SipHash via
-    pandas.util.hash_array, masked to 32 bits so the (a*x+b) mod
-    Mersenne-61 permutation trick below stays a proper universal
-    hash — products never overflow uint64)."""
+    pandas.util.hash_array, masked to 32 bits — the universe the
+    _permute_m61 universal hash permutes; the mod-M61 product itself
+    is overflow-safe via 128-bit decomposition there)."""
     import pandas as pd
 
     h = pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
@@ -249,6 +264,32 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
     b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
     return a, b
+
+
+def _permute_m61(a: np.ndarray, b: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """True (a*h + b) mod 2^61−1 universal hash, vectorized, with a in
+    [1, M) and h < 2^32 — the uint64 product a*h reaches ~2^93, so the
+    multiply is decomposed into 32-bit halves and folded with
+    2^61 ≡ 1 (mod M) instead of silently wrapping (the r2 bug: naive
+    numpy wrap is deterministic but NOT the claimed universal hash;
+    restricting a < 2^32 instead is worse — without wraparound a tiny
+    shingle hash stays tiny under EVERY permutation and dominates all
+    minima, collapsing MinHash agreement on real pairs).
+
+    Shapes broadcast: a, b are (num_perm, 1); h is (1, n_shingles).
+    """
+    M = np.uint64(_MERSENNE)
+    a_hi = a >> np.uint64(32)          # < 2^29
+    a_lo = a & np.uint64(0xFFFFFFFF)   # < 2^32
+    t1 = a_hi * h                      # < 2^61
+    t2 = a_lo * h                      # < 2^64
+    # t1·2^32 mod M: t1·2^32 = (t1 >> 29)·2^61 + (t1 mod 2^29)·2^32
+    hi_part = (t1 >> np.uint64(29)) + ((t1 & np.uint64((1 << 29) - 1)) << np.uint64(32))
+    lo_part = (t2 >> np.uint64(61)) + (t2 & M)
+    x = hi_part + lo_part + b          # < 2^62 + 2^62 + 2^61 < 2^64
+    x = (x >> np.uint64(61)) + (x & M)
+    x = (x >> np.uint64(61)) + (x & M)
+    return np.where(x >= M, x - M, x)
 
 
 class MinHasher:
@@ -272,7 +313,7 @@ class MinHasher:
         if len(sh) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
         # (num_perm, n_shingles) — modular hash, min per row
-        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        vals = _permute_m61(self.a[:, None], self.b[:, None], sh[None, :])
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -296,7 +337,7 @@ class MinHasher:
                     [np.asarray(gram_lists[d], dtype=object) for d in nonempty]
                 )
                 h = _hash32(flat)
-                vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+                vals = _permute_m61(self.a[:, None], self.b[:, None], h[None, :])
                 starts = np.cumsum(
                     [0] + [len(gram_lists[d]) for d in nonempty[:-1]]
                 )
@@ -1460,7 +1501,12 @@ def per_key_cap(ds, *, key: str = "host", k: int = 5, order_col: str = "url"):
         return b.append_column("__dig", digs)
 
     def truncate(b: pa.Table) -> pa.Table:
-        keys = np.asarray(b.column(key).to_pylist(), dtype=object)
+        # null keys group under "" instead of crashing the lexsort
+        # (poison-row principle); digs never hold None (md5 of "None")
+        keys = np.asarray(
+            [v if v is not None else "" for v in b.column(key).to_pylist()],
+            dtype=object,
+        )
         digs = np.asarray(b.column("__dig").to_pylist(), dtype=object)
         order = np.lexsort((digs, keys))
         k_sorted = keys[order]

@@ -172,11 +172,15 @@ def test_dedup_by_url_latest_tie_break_deterministic(ray_session):
             "html": pa.array([b"ccc", b"aaa", b"bbb"], pa.binary()),
         }
     )
-    import hashlib
+    import numpy as np
+    import pandas as pd
 
-    want = min(
-        [b"ccc", b"aaa", b"bbb"], key=lambda v: hashlib.md5(v).hexdigest()
-    )
+    # the tiebreak contract is "smallest content digest" where the
+    # digest is the engine's internal vectorized siphash (fixed pandas
+    # key — stable across processes/runs); pin against that function
+    contents = [b"ccc", b"aaa", b"bbb"]
+    digs = pd.util.hash_array(np.asarray(contents, dtype=object))
+    want = contents[int(np.argmin(digs))]
     for _ in range(3):
         out = dedup.dedup_by_url(
             ray.data.from_arrow(tbl), policy="latest"
@@ -299,3 +303,46 @@ def test_lsh_merged_equals_single_job(ray_session):
         for r in dedup.lsh_candidate_pairs_merged(load(), n_shards=3).take_all()
     }
     assert merged == full and full
+
+
+def test_dedup_by_url_and_cap_tolerate_null_keys(ray_session):
+    """Poison-row principle (r2 advice): null url / host / html rows
+    must not crash the vectorized lexsort paths — null urls group under
+    "" with one deterministic winner, null cap-keys likewise."""
+    import datetime
+
+    import ray.data
+
+    ts = datetime.datetime(2026, 1, 1)
+    tbl = pa.table(
+        {
+            "url": pa.array(["a", None, None, "b"], pa.string()),
+            "warc_ts": pa.array([ts] * 4, pa.timestamp("us")),
+            "html": pa.array([b"x", b"y", None, b"z"], pa.binary()),
+        }
+    )
+    for policy in ("first", "latest"):
+        out = dedup.dedup_by_url(
+            ray.data.from_arrow(tbl), policy=policy
+        ).take_all()
+        # "a", "b", and ONE winner for the two null-url rows
+        assert len(out) == 3
+        assert sorted(r["url"] for r in out if r["url"] is not None) == [
+            "a",
+            "b",
+        ]
+
+    capped = dedup.per_key_cap(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array(["h", None, None, None], pa.string()),
+                    "url": pa.array(["u1", "u2", None, "u4"], pa.string()),
+                }
+            )
+        ),
+        key="host",
+        k=2,
+    ).take_all()
+    # host "h" keeps its 1 row; the three null-host rows cap to 2
+    assert len(capped) == 3
