@@ -2044,15 +2044,23 @@ FROM documents WHERE n_chars IS NOT NULL
 
 
 def q_bloom_blocklist(sf_dir: str):
-    """Domain exclusion via the Bloom-prefiltered blocklist (the
-    10^9-entry-blocklist shape: ~10 bits/key broadcast once, clean
-    rows pay k bit-probes, only maybe-rows verify exactly — result
-    identical to the plain anti-join, same oracle shape as
-    `blocklist_filter`)."""
+    """Domain exclusion via the Bloom-prefiltered blocklist, scale
+    form (r2 verdict #4): ~10 bits/key broadcast once, clean rows pay
+    k bit-probes and no shuffle, maybe-rows anti-join the blocklist
+    DATASET in a co-partitioned bucket groupby — no exact set is ever
+    broadcast. The filter sits UPSTREAM of extraction (where a
+    blocklist belongs: its two source scans are cheap; extraction runs
+    once, on survivors only). Result identical to the plain anti-join,
+    same oracle shape as `blocklist_filter`."""
+    import ray
+
     from ..stages import bloom
 
-    blocked_hosts = [f"h{k:02d}.example.com" for k in range(5)]
-    ext = extract_pages(pages_from_documents(sf_dir), mode="text")
+    blocked_ds = ray.data.from_arrow(
+        pa.table(
+            {"host": [f"h{k:02d}.example.com" for k in range(5)]}
+        )
+    )
 
     def host_col(b: pa.Table) -> pa.Table:
         host = pc.struct_field(
@@ -2060,14 +2068,19 @@ def q_bloom_blocklist(sf_dir: str):
         )
         return b.append_column("host", host)
 
-    with_host = ext.map_batches(host_col, batch_format="pyarrow")
-    kept = bloom.bloom_blocklist_filter(with_host, blocked_hosts,
-                                        key_col="host")
+    pages = pages_from_documents(sf_dir).map_batches(
+        host_col, batch_format="pyarrow"
+    )
+    kept_pages = bloom.bloom_blocklist_filter_ds(
+        pages, blocked_ds, key_col="host", n_expected=5
+    )
+    ext = extract_pages(kept_pages, mode="text")
 
     def proj(b: pa.Table) -> pa.Table:
+        b = host_col(b)
         return _i64(b.select(["url", "host", "n_words"]), ["n_words"])
 
-    return kept.map_batches(proj, batch_format="pyarrow")
+    return ext.map_batches(proj, batch_format="pyarrow")
 
 
 # the Bloom path must produce the IDENTICAL result set — same oracle

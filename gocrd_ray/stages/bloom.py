@@ -6,9 +6,10 @@ filter at ~10 bits/key is ~1.2 GB of numpy bits — `ray.put` once,
 zero-copy into every map task. Bloom answers "definitely clean" /
 "maybe blocked" with NO false negatives, so the composed pipeline
 stays EXACT: the maybe rows (true hits + fpr·clean) are the only ones
-that pay the exact verification (here a broadcast-set probe; at full
-scale a co-partitioned lookup join against the blocklist table, the
-`dedup.attach_column_lookup` shape). Result ≡ the plain anti-join —
+that pay the exact verification — a co-partitioned bucket anti-join
+against the blocklist DATASET in `bloom_blocklist_filter_ds` (worker
+memory bounded by the Bloom bits alone), or a broadcast-set probe in
+the test-scale `bloom_blocklist_filter`. Result ≡ the plain anti-join —
 which is why the query form shares `blocklist_filter`'s oracle shape.
 
 Construction is itself distributed and mergeable: each block of the
@@ -137,14 +138,145 @@ class BloomBlocklistFilter:
         return b.filter(pa.array(~hit))
 
 
+def bloom_blocklist_filter_ds(ds, blocked_ds, *, key_col: str,
+                              blocked_col: str | None = None,
+                              n_expected: int | None = None,
+                              fpr: float = 0.01, n_buckets: int = 32):
+    """Drop rows whose ``key_col`` appears in ``blocked_ds`` (a Dataset
+    of blocked keys), EXACTLY, with worker memory bounded by the Bloom
+    BITS alone — the 10^9-key scale path (r2 verdict #4): no
+    ``set(blocked)`` ever enters the object store.
+
+    Shape: (1) the Bloom filter is built distributed from the blocklist
+    dataset (mergeable partial bit arrays) and its bits broadcast once;
+    (2) rows the Bloom clears ("definitely clean" — no false negatives)
+    pass straight through, paying k bit-probes and ZERO shuffle;
+    (3) only maybe-rows (true hits + fpr·clean) ride a co-partitioned
+    bucket groupby against the blocklist keys and are dropped exactly
+    via vectorized ``index_in`` (anti-join) — the blocklist shuffles as
+    narrow key rows, never as a Python set. Result ≡ the plain
+    anti-join.
+
+    Cost note: the clean and maybe branches both read the input (Ray
+    Datasets are lazy; two consumers = two scans), so place this filter
+    directly on the cheap source scan — upstream of extraction, where a
+    blocklist belongs anyway — not downstream of expensive stages.
+    Null keys are never blocked (kept, like the anti-join oracle).
+    """
+    import pandas as pd
+    import ray
+
+    blocked_col = blocked_col or key_col
+    if n_expected is None:
+        n_expected = blocked_ds.count()
+    bloom = build_from_dataset(
+        blocked_ds, key_col=blocked_col, n_expected=n_expected, fpr=fpr
+    )
+    m, k = bloom.m, bloom.k
+    bits_ref = ray.put(bloom.bits)
+
+    def probe(b: pa.Table, keep_maybe: bool) -> pa.Table:
+        bl = Bloom(m, k, ray.get(bits_ref))  # zero-copy ndarray view
+        keys = np.asarray(
+            [v if v is not None else "" for v in
+             b.column(key_col).to_pylist()],
+            dtype=object,
+        )
+        maybe = bl.contains(keys) & pc.is_valid(
+            b.column(key_col)
+        ).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(maybe if keep_maybe else ~maybe))
+
+    clean = ds.map_batches(
+        lambda b: probe(b, False), batch_format="pyarrow"
+    )
+    maybe = ds.map_batches(
+        lambda b: probe(b, True), batch_format="pyarrow"
+    )
+
+    # co-partitioned exact verify: union(maybe rows, blocklist keys)
+    # bucketed by hash(key); per bucket a vectorized anti-join
+    row_schema = ds.schema().base_schema
+    union_fields = list(row_schema) + [
+        pa.field("__bkey", pa.string()),
+        pa.field("__is_block", pa.int8()),
+        pa.field("__bucket", pa.int32()),
+    ]
+    union_schema = pa.schema(union_fields)
+
+    def _aligned(b: pa.Table) -> pa.Table:
+        cols = []
+        for f in union_schema:
+            if f.name in b.column_names:
+                cols.append(pc.cast(b.column(f.name), f.type))
+            else:
+                cols.append(pa.nulls(len(b), f.type))
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    def _bucket_of(keys: np.ndarray) -> np.ndarray:
+        return (pd.util.hash_array(keys) % n_buckets).astype(np.int32)
+
+    def tag_rows(b: pa.Table) -> pa.Table:
+        keys = np.asarray(
+            [v if v is not None else "" for v in
+             b.column(key_col).to_pylist()],
+            dtype=object,
+        )
+        b = b.append_column("__bkey", pa.array(keys, pa.string()))
+        b = b.append_column(
+            "__is_block", pa.array(np.zeros(len(b), np.int8))
+        )
+        b = b.append_column("__bucket", pa.array(_bucket_of(keys)))
+        return _aligned(b)
+
+    def tag_block(b: pa.Table) -> pa.Table:
+        keys = np.asarray(
+            [v if v is not None else "" for v in
+             b.column(blocked_col).to_pylist()],
+            dtype=object,
+        )
+        t = pa.table(
+            {
+                "__bkey": pa.array(keys, pa.string()),
+                "__is_block": pa.array(np.ones(len(keys), np.int8)),
+                "__bucket": pa.array(_bucket_of(keys)),
+            }
+        )
+        return _aligned(t)
+
+    both = maybe.map_batches(tag_rows, batch_format="pyarrow").union(
+        blocked_ds.map_batches(tag_block, batch_format="pyarrow")
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        is_block = pc.equal(group.column("__is_block"), 1)
+        brows = group.filter(is_block)
+        rows = group.filter(pc.invert(is_block))
+        bkeys = brows.column("__bkey")
+        if isinstance(bkeys, pa.ChunkedArray):
+            bkeys = bkeys.combine_chunks()
+        if len(brows):
+            idx = pc.index_in(rows.column("__bkey"), value_set=bkeys)
+            rows = rows.filter(pc.is_null(idx))
+        out = rows.drop_columns(["__bkey", "__is_block", "__bucket"])
+        return out
+
+    survivors = both.groupby("__bucket").map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+    return clean.union(survivors)
+
+
 def bloom_blocklist_filter(ds, blocked, *, key_col: str, fpr: float = 0.01,
                            concurrency=(1, 4)):
     """Drop rows whose ``key_col`` is in ``blocked`` (an iterable of
     keys), EXACTLY, using a Bloom prefilter so the per-row cost on the
     (overwhelmingly common) clean rows is k bit probes with no
     set/dict in sight. Maybe-rows verify against the exact blocklist
-    (fetched once per actor); at 10^9-key scale that verification
-    becomes the co-partitioned lookup join and only the maybes shuffle.
+    (fetched once per actor). TEST-SCALE form: it broadcasts the full
+    exact set — use ``bloom_blocklist_filter_ds`` (co-partitioned
+    verify, memory bounded by the Bloom bits) whenever the blocklist
+    itself is large.
     """
     import ray
 

@@ -344,3 +344,67 @@ def test_top_k_bounded_tiny_cap_equals_exact_or_raises(ray_session):
     # cap too small for the guarantee → loud failure, not silence
     with pytest.raises(RuntimeError):
         top_k_bounded(ds, k=5, cap=2, text_col="text")
+
+
+def test_bloom_filter_ds_equals_anti_join_no_set_broadcast(ray_session):
+    """The dataset-native bloom path (r2 verdict #4) must equal the
+    plain anti-join on a corpus engineered to produce Bloom false
+    positives (high fpr), with a 10^7-key blocklist that never enters
+    the object store as a Python set — worker memory is the bits alone
+    (~1.5 MB at fpr 0.01 amortized; here sized by n_expected)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from gocrd_ray.stages.bloom import bloom_blocklist_filter_ds
+
+    n_blocked = 10_000_000
+    # vectorized key synthesis: "b<i>" for even i in [0, 2e7)
+    blocked_keys = np.char.add(
+        "b", (np.arange(n_blocked, dtype=np.int64) * 2).astype(str)
+    )
+    blocked_ds = ray.data.from_arrow(
+        pa.table({"host": pa.array(blocked_keys)})
+    ).repartition(8)
+
+    # corpus: 2000 rows, half blocked (even suffix), half clean (odd)
+    suffix = np.arange(2000, dtype=np.int64)
+    corpus_keys = np.char.add("b", suffix.astype(str))
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "host": pa.array(corpus_keys),
+                "row_id": pa.array(suffix),
+            }
+        )
+    ).repartition(4)
+
+    # fpr 0.2 → plenty of maybe-rows among the clean half: the exact
+    # co-partitioned verify is genuinely exercised, not a no-op
+    kept = bloom_blocklist_filter_ds(
+        corpus, blocked_ds, key_col="host", n_expected=n_blocked, fpr=0.2
+    ).take_all()
+    got = sorted(r["row_id"] for r in kept)
+    want = sorted(int(i) for i in suffix if i % 2 == 1)
+    assert got == want
+
+
+def test_bloom_filter_ds_null_keys_kept(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from gocrd_ray.stages.bloom import bloom_blocklist_filter_ds
+
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "host": pa.array(["bad", None, "good"], pa.string()),
+                "row_id": pa.array([0, 1, 2], pa.int64()),
+            }
+        )
+    )
+    blocked_ds = ray.data.from_arrow(pa.table({"host": ["bad"]}))
+    kept = bloom_blocklist_filter_ds(
+        corpus, blocked_ds, key_col="host", n_expected=1
+    ).take_all()
+    assert sorted(r["row_id"] for r in kept) == [1, 2]
