@@ -57,6 +57,9 @@ QUERY_NAMES = [
     "length_quantiles",
     "top_tokens_bounded",
     "pipeline_hygiene",
+    # round-3 operators
+    "repeated_substrings",
+    "bloom_blocklist",
 ]
 
 

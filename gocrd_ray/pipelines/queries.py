@@ -1211,6 +1211,51 @@ FROM lt GROUP BY md5(line)
 """
 
 
+def q_repeated_substrings(sf_dir: str):
+    """Substring-level exact dedup (Lee et al. 2022 / r2 verdict #5):
+    maximal per-doc character spans covered by a 50-char window that
+    occurs >= 2 times anywhere in the corpus — the cross-document
+    boilerplate INSIDE otherwise distinct paragraphs that
+    paragraph-level dedup cannot see. Two linear passes, narrow
+    (hash, count) shuffle; the oracle groups on literal window text."""
+    from ..stages import substring
+
+    return substring.repeated_substring_spans(
+        _docs(sf_dir), min_len=50, text_col="text", id_col="doc_id"
+    )
+
+
+SQL_REPEATED_SUBSTRINGS = """
+WITH d AS (
+  SELECT doc_id, text, unnest(range(length(text) - 49)) AS pos
+  FROM documents WHERE length(text) >= 50
+),
+wins AS (
+  SELECT doc_id, pos, substr(text, pos::INTEGER + 1, 50) AS w FROM d
+),
+hits AS (
+  SELECT doc_id, pos FROM wins
+  WHERE w IN (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2)
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  <= 50
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marked
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) + 50)::BIGINT AS span_end
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic reproducible sampling by content hash — the QA /
     eval-split stage (pure per-row filter, no RNG state, no shuffle)."""
@@ -2321,6 +2366,7 @@ QUERIES = {
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "top_tokens_per_lang": (q_top_tokens_per_lang, SQL_TOP_TOKENS_PER_LANG),
     "dedup_paragraphs": (q_dedup_paragraphs, SQL_DEDUP_PARAGRAPHS),
+    "repeated_substrings": (q_repeated_substrings, SQL_REPEATED_SUBSTRINGS),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "url_canon": (q_url_canon, SQL_URL_CANON),
     "events_preceding": (q_events_preceding, SQL_EVENTS_PRECEDING),

@@ -1,0 +1,244 @@
+"""Substring-level exact dedup: find every maximal character span that
+is part of some length-L window occurring >= 2 times anywhere in the
+corpus (Lee et al. 2022, "Deduplicating Training Data Makes Language
+Models Better" — the suffix-array family; a substring of length >= L
+repeats iff it contains a repeated window of exactly L, so L-window
+counting finds exactly the same spans the suffix array does).
+
+This is the residual a paragraph-level exact dedup (dedup.paragraph_
+dedup) cannot see: cross-document repeated substrings INSIDE otherwise
+distinct paragraphs (licence boilerplate, templated sentences, quoted
+chunks). No reference analog (SURVEY-plus [scale] operator).
+
+Scale shape (two linear passes, no suffix sort, no all-to-all of text):
+1. COUNT: each batch computes double 64-bit rolling hashes of all
+   L-windows of its docs vectorized, pre-aggregates to (h1, h2, count)
+   partials per batch, and ONE global groupby sums them — only narrow
+   hash partials shuffle, never window text. Hashes with total count
+   >= 2 form the dup-window table (bounded by the corpus's actual
+   repetition, typically orders of magnitude below total windows).
+2. MARK: a second scan probes each window against the dup table and
+   merges hit windows into maximal per-doc spans in numpy. The dup
+   table ships as one broadcast (ray.put) below ~10^8 entries; beyond
+   that, route it through a Bloom prefilter + co-partitioned verify
+   (the bloom.bloom_blocklist_filter_ds shape) — same contract.
+
+Exactness: the window key is a PAIR of independent 64-bit rolling
+hashes (distinct multiplier bases over the mod-2^64 ring). A false
+span requires a full 128-bit collision; at 10^12 windows the expected
+number of colliding pairs is ~(10^12)^2 / 2^129 ≈ 1.5e-15 — the same
+trade the hash-based variants of the suffix-array literature make.
+The DuckDB oracle groups on the literal window text, so any collision
+at test scale would surface as a gate mismatch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_B1 = np.uint64(1000003)       # rolling-hash bases: distinct odd
+_B2 = np.uint64(0x9E3779B97F4A7C15)  # multipliers over the 2^64 ring
+
+
+def _codepoints(text: str) -> np.ndarray:
+    """Text -> uint64 code points (UTF-32 view; SQL substr() and
+    Python slicing both index characters, so hashes align with the
+    oracle's character windows)."""
+    return np.frombuffer(
+        text.encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.uint64)
+
+
+def _window_hashes(cp: np.ndarray, L: int,
+                   base: np.uint64) -> np.ndarray:
+    """All length-L window hashes of one doc, vectorized:
+    h[i] = sum_{j<L} cp[i+j] * base^(L-1-j)  (mod 2^64, natural wrap).
+
+    Via prefix sums over descending powers: with n = len(cp) and
+    P[i] = sum_{j>=i} cp[j] * base^(n-1-j),
+    h[i] = (P[i] - P[i+L]) * inv(base^(n-i-L))  — division by a power
+    is exact in the 2^64 ring because ``base`` is odd (units are
+    invertible mod 2^64)."""
+    n = len(cp)
+    if n < L:
+        return np.zeros(0, dtype=np.uint64)
+    # pows[j] = base^(n-1-j): cumprod over the 2^64 ring (wrap is the
+    # ring arithmetic), fully vectorized
+    steps = np.full(n, base, dtype=np.uint64)
+    steps[0] = np.uint64(1)
+    pows = np.cumprod(steps, dtype=np.uint64)[::-1]
+    weighted = cp * pows
+    suffix = np.concatenate(
+        [np.cumsum(weighted[::-1], dtype=np.uint64)[::-1],
+         np.zeros(1, np.uint64)]
+    )
+    diffs = suffix[: n - L + 1] - suffix[L:]
+    # h[i] = diffs[i] / base^(n-i-L): division by an odd unit is exact
+    # in the 2^64 ring — multiply by cumprod of the modular inverse
+    inv = _inv_u64(base)
+    inv_steps = np.full(n - L + 1, inv, dtype=np.uint64)
+    inv_steps[0] = np.uint64(1)
+    inv_pows = np.cumprod(inv_steps, dtype=np.uint64)[::-1]
+    return diffs * inv_pows
+
+
+def _pair_keys(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """(h1, h2) int64 pairs -> one sortable structured array (exact
+    128-bit keys: searchsorted compares both fields, no re-hashing)."""
+    out = np.empty(len(h1), dtype=[("a", "<i8"), ("b", "<i8")])
+    out["a"] = h1
+    out["b"] = h2
+    return out
+
+
+def _inv_u64(a: np.uint64) -> np.uint64:
+    """Multiplicative inverse of odd ``a`` mod 2^64 (Newton iteration)."""
+    x = int(a)
+    inv = x  # 3 bits correct
+    for _ in range(5):
+        inv = (inv * (2 - x * inv)) % (1 << 64)
+    return np.uint64(inv)
+
+
+def _doc_window_hashes(texts: list, L: int):
+    """Per-batch: (doc_index, pos, h1, h2) arrays for all windows."""
+    idx_out, pos_out, h1_out, h2_out = [], [], [], []
+    for d, tx in enumerate(texts):
+        cp = _codepoints(tx or "")
+        h1 = _window_hashes(cp, L, _B1)
+        if len(h1) == 0:
+            continue
+        h2 = _window_hashes(cp, L, _B2)
+        idx_out.append(np.full(len(h1), d, np.int64))
+        pos_out.append(np.arange(len(h1), dtype=np.int64))
+        h1_out.append(h1)
+        h2_out.append(h2)
+    if not idx_out:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    return (
+        np.concatenate(idx_out),
+        np.concatenate(pos_out),
+        np.concatenate(h1_out),
+        np.concatenate(h2_out),
+    )
+
+
+def duplicate_window_hashes(ds, *, min_len: int = 50,
+                            text_col: str = "text"):
+    """Pass 1: Dataset of (h1, h2, n) for every length-``min_len``
+    window hash occurring >= 2 times corpus-wide (multiplicity counts
+    same-doc repeats, per Lee et al.). Per-batch partial aggregation
+    keeps the shuffle to narrow (hash, count) rows."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        _, _, h1, h2 = _doc_window_hashes(texts, min_len)
+        t = pa.table(
+            {
+                "h1": pa.array(h1.astype(np.int64), pa.int64()),
+                "h2": pa.array(h2.astype(np.int64), pa.int64()),
+            }
+        )
+        agg = pa.TableGroupBy(t, ["h1", "h2"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["h1", "h2", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    tot = partials.groupby(["h1", "h2"]).sum("n")
+
+    out_schema = pa.schema(
+        [("h1", pa.int64()), ("h2", pa.int64()), ("n", pa.int64())]
+    )
+
+    def dups_only(b: pa.Table) -> pa.Table:
+        # empty groupby outputs can arrive schema-less — pin the schema
+        # so downstream never sees a column-free block (r2 verdict #7)
+        if b.num_rows == 0 or b.num_columns < 3:
+            return out_schema.empty_table()
+        b = b.rename_columns(["h1", "h2", "n"])
+        return b.filter(pc.greater_equal(b.column("n"), 2)).cast(out_schema)
+
+    return tot.map_batches(dups_only, batch_format="pyarrow")
+
+
+def repeated_substring_spans(ds, *, min_len: int = 50,
+                             text_col: str = "text",
+                             id_col: str = "doc_id"):
+    """Maximal per-doc character spans covered by corpus-repeated
+    length-``min_len`` windows: (id_col, span_start, span_end),
+    end-exclusive, 0-based — exactly the byte ranges Lee et al.'s
+    suffix-array dedup would cut.
+
+    Overlapping or touching hit windows merge (coverage of windows at
+    p1 and p2 is contiguous iff p2 - p1 <= min_len), so spans are the
+    connected components of window coverage.
+    """
+    import ray
+
+    dup = duplicate_window_hashes(ds, min_len=min_len, text_col=text_col)
+
+    # broadcast the dup-hash table once (see module docstring for the
+    # >=10^8-entry Bloom + co-partitioned alternative); np.isin on h1
+    # prefilters, the (h1, h2) pair check confirms
+    # NB: an empty input block (e.g. from repartition) flows through
+    # map_batches WITHOUT the UDF running, arriving here schema-less —
+    # drop those, they carry nothing
+    blocks = [
+        b
+        for b in (ray.get(r) for r in dup.to_arrow_refs())
+        if b.num_rows and "h1" in b.schema.names
+    ]
+    h1s = np.concatenate(
+        [b.column("h1").to_numpy(zero_copy_only=False) for b in blocks]
+    ) if blocks else np.zeros(0, np.int64)
+    h2s = np.concatenate(
+        [b.column("h2").to_numpy(zero_copy_only=False) for b in blocks]
+    ) if blocks else np.zeros(0, np.int64)
+    dup_keys = _pair_keys(h1s, h2s)
+    dup_keys.sort()
+    dup_ref = ray.put(dup_keys)
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("span_start", pa.int64()),
+            pa.field("span_end", pa.int64()),
+        ]
+    )
+
+    def mark(b: pa.Table) -> pa.Table:
+        dup_keys = ray.get(dup_ref)
+        texts = b.column(text_col).to_pylist()
+        ids = pc.cast(b.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        didx, pos, h1, h2 = _doc_window_hashes(texts, min_len)
+        if len(dup_keys) and len(h1):
+            keys = _pair_keys(h1.astype(np.int64), h2.astype(np.int64))
+            lo = np.searchsorted(dup_keys, keys)
+            lo_c = np.minimum(lo, len(dup_keys) - 1)
+            hit = (lo < len(dup_keys)) & (dup_keys[lo_c] == keys)
+        else:
+            hit = np.zeros(len(h1), dtype=bool)
+        ids_out, s_out, e_out = [], [], []
+        didx_h = didx[hit]
+        pos_h = pos[hit]
+        for d in np.unique(didx_h):
+            p = np.sort(pos_h[didx_h == d])
+            brk = np.flatnonzero(np.diff(p) > min_len) + 1
+            for seg in np.split(p, brk):
+                ids_out.append(ids[d])
+                s_out.append(seg[0])
+                e_out.append(seg[-1] + min_len)
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, pa.int64()),
+                "span_start": pa.array(s_out, pa.int64()),
+                "span_end": pa.array(e_out, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(mark, batch_format="pyarrow")

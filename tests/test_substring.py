@@ -1,0 +1,99 @@
+"""Substring-level exact dedup (Lee et al. 2022 family): unit pins for
+the rolling-hash window counting and span merging."""
+
+import numpy as np
+import pyarrow as pa
+
+from gocrd_ray.stages import substring
+
+
+def _brute_spans(texts_by_id: dict, L: int):
+    """O(n²) oracle: spans covered by length-L windows occurring >= 2
+    times (multiplicity across ALL docs incl. same-doc repeats)."""
+    import collections
+
+    counts = collections.Counter()
+    for _, tx in texts_by_id.items():
+        for i in range(len(tx) - L + 1):
+            counts[tx[i : i + L]] += 1
+    out = []
+    for did, tx in texts_by_id.items():
+        hits = [
+            i for i in range(len(tx) - L + 1)
+            if counts[tx[i : i + L]] >= 2
+        ]
+        if not hits:
+            continue
+        start = hits[0]
+        prev = hits[0]
+        for p in hits[1:] + [None]:
+            if p is None or p - prev > L:
+                out.append((did, start, prev + L))
+                if p is not None:
+                    start = p
+            if p is not None:
+                prev = p
+    return sorted(out)
+
+
+def _run(texts_by_id: dict, L: int):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(texts_by_id), pa.int64()),
+            "text": pa.array(list(texts_by_id.values()), pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    rows = substring.repeated_substring_spans(
+        ds, min_len=L, text_col="text", id_col="doc_id"
+    ).take_all()
+    return sorted((r["doc_id"], r["span_start"], r["span_end"]) for r in rows)
+
+
+def test_cross_doc_repeat_and_short_docs(ray_session):
+    shared = "A" * 3 + "the quick brown fox jumps over the dog" + "B" * 9
+    texts = {
+        0: "prefix one " + shared + " tail zero",
+        1: "a different lead-in " + shared + " and a different tail",
+        2: "entirely unrelated text with no repeats at all here",
+        3: "tiny",  # shorter than L: no windows, never crashes
+    }
+    L = 40
+    assert _run(texts, L) == _brute_spans(texts, L)
+
+
+def test_same_doc_repeat_counts(ray_session):
+    """Multiplicity includes same-doc repeats (Lee et al. semantics):
+    a window appearing twice in ONE doc is a duplicate."""
+    block = "0123456789" * 6  # 60 chars
+    texts = {7: block + "-----middle-----" + block}
+    L = 50
+    got = _run(texts, L)
+    assert got == _brute_spans(texts, L)
+    assert got, "same-doc repeat must be detected"
+
+
+def test_touching_windows_merge_into_one_span(ray_session):
+    """Hit windows whose coverage touches merge into one maximal span."""
+    texts = {
+        0: "x" * 120,
+        1: "y" + "x" * 121 + "z",
+    }
+    L = 50
+    got = _run(texts, L)
+    want = _brute_spans(texts, L)
+    assert got == want
+    # all-x runs collapse to ONE span per doc
+    assert len([g for g in got if g[0] == 0]) == 1
+
+
+def test_unicode_alignment(ray_session):
+    """Multibyte code points: spans are CHARACTER offsets (UTF-32
+    hashing), matching SQL substr semantics."""
+    core = "héllø wörld ünïcode — ça va très bien aujourd'hui ✓"
+    texts = {0: "AA" + core, 1: "BBBB" + core}
+    L = len(core)
+    got = _run(texts, L)
+    assert got == [(0, 2, 2 + L), (1, 4, 4 + L)]
