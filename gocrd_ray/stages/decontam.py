@@ -74,18 +74,19 @@ def collect_eval_grams(eval_ds, *, n: int = 4, text_col: str = "text",
     array (or sorted uint64 hash array when ``hashed``).
 
     The eval set is small BY DEFINITION (a benchmark), so pulling its
-    distinct grams to the driver is the broadcast pattern, not a
-    scale leak — per-batch ``pc.unique`` keeps even that pull minimal.
+    text to the driver and building grams locally is the broadcast
+    pattern, not a scale leak. (Deliberately NOT a distributed
+    map_batches gram stage: the eval side is usually a filter of a
+    bigger table, its empty blocks skip UDFs entirely in Ray 2.49 and
+    surface downstream as schema-less bundles — the r2 bench-tail
+    "RefBundle with a different schema" warning.)
     """
-    def per_batch(b: pa.Table) -> pa.Table:
-        grams, _ = _token_ngrams(b.column(text_col), n)
-        return pa.table({"gram": pc.unique(grams)})
-
     parts = []
-    for b in eval_ds.map_batches(per_batch, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        col = b.column("gram")
+    for b in eval_ds.iter_batches(batch_format="pyarrow"):
+        if text_col not in b.column_names or b.num_rows == 0:
+            continue
+        grams, _ = _token_ngrams(b.column(text_col), n)
+        col = pc.unique(grams)
         parts.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
     if parts:
         grams = pc.unique(pa.concat_arrays(parts))
