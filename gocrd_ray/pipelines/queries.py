@@ -1707,10 +1707,75 @@ def q_langid(sf_dir: str):
     )
 
 
+def _langid_sql() -> str:
+    """ANSI-SQL mirror of :class:`LangId`, generated from the same
+    LANG_PROFILES so vocab edits can never desynchronise the oracle.
+    Tie rule: CASE order == sorted(langs) == the argmax tie rule."""
+    from ..stages.text_stats import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    scores = ", ".join(
+        "count(*) FILTER (tok IN (%s)) AS s_%s"
+        % (", ".join("'%s'" % w for w in LANG_PROFILES[lang]), lang)
+        for lang in langs
+    )
+    whens = " ".join(
+        "WHEN s_%s = m THEN '%s'" % (lang, lang) for lang in langs[:-1]
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+), s AS (
+  SELECT doc_id, {scores} FROM toks GROUP BY doc_id
+), sm AS (
+  SELECT *, greatest({", ".join("s_" + lang for lang in langs)}) AS m FROM s
+)
+SELECT d.doc_id,
+  CASE WHEN COALESCE(m, 0) = 0 THEN 'und' {whens} ELSE '{langs[-1]}' END
+    AS pred_lang,
+  COALESCE(m, 0)::BIGINT AS score
+FROM documents d LEFT JOIN sm USING (doc_id)
+"""
+
+
+SQL_LANGID = _langid_sql()
+
+
 def q_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(
         text_stats.fingerprint_batch, batch_format="pyarrow"
     )
+
+
+# Winnowing oracle (k=3-token shingles, window=4): md5-hex shingle
+# hashes, per-window lexicographic min (== numeric min on the 128-bit
+# value), distinct selected minima sorted and comma-joined — the FULL
+# fingerprint set is value-checked, not just a summary of it.
+SQL_FINGERPRINT = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), pos AS (
+  SELECT doc_id, l, len(l) - 3 + 1 AS n_sh,
+         unnest(range(1, greatest(len(l) - 3 + 2, 1))) AS s
+  FROM base WHERE len(l) >= 3
+), grams AS (
+  SELECT doc_id, s, n_sh, md5(array_to_string(l[s:s+2], ' ')) AS h FROM pos
+), wm AS (
+  SELECT doc_id, n_sh, s,
+         min(h) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+  FROM grams
+), agg AS (
+  SELECT doc_id, any_value(n_sh) AS n_shingles,
+         count(DISTINCT m) AS n_fp,
+         string_agg(DISTINCT m, ',' ORDER BY m) AS fp_set
+  FROM wm WHERE s <= greatest(n_sh - 4 + 1, 1) GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_shingles, 0)::BIGINT AS n_shingles,
+       COALESCE(a.n_fp, 0)::BIGINT AS n_fp,
+       COALESCE(a.fp_set, '') AS fp_set
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
 
 
 def q_knn_ivf(sf_dir: str):
@@ -2387,14 +2452,16 @@ QUERIES = {
     "bloom_blocklist": (q_bloom_blocklist, SQL_BLOOM_BLOCKLIST),
     "top_tokens_bounded": (q_top_tokens_bounded, SQL_TOP_TOKENS),
     "pipeline_hygiene": (q_pipeline_hygiene, SQL_PIPELINE_HYGIENE),
-    # rows-only (non-SQL-expressible: probabilistic sketches / heuristics)
+    "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
+    "langid": (q_langid, SQL_LANGID),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "neardup_cosine": (q_neardup_cosine, SQL_NEARDUP_COSINE),
+    # rows-only (non-SQL-expressible: probabilistic sketches / LSH
+    # signatures over non-SQL hashes; each pinned behaviorally in
+    # tests/test_rowsonly_validation.py and friends)
     "dedup_minhash": (q_dedup_minhash, None),
     "distinct_tokens_sketch": (q_distinct_tokens, None),
-    "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "dedup_simhash": (q_dedup_simhash, None),
     "simhash_pairs": (q_simhash_pairs, None),
-    "langid": (q_langid, None),
-    "fingerprint": (q_fingerprint, None),
     "knn_ivf": (q_knn_ivf, None),
-    "neardup_cosine": (q_neardup_cosine, SQL_NEARDUP_COSINE),
 }

@@ -8,10 +8,11 @@ token-count vectors, not raw strings.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import zlib
 
 # Fixed stopword list — must stay in sync with the SQL mirror in
 # __ray_entry__.oracle_sql (quality_score query).
@@ -161,49 +162,60 @@ class LangId:
 # -- fingerprinting ----------------------------------------------------------
 
 
-def _crc(s: str) -> int:
-    return zlib.crc32(s.encode("utf-8"))
-
-
 def fingerprint_batch(
     batch: pa.Table, k: int = 3, window: int = 4, id_col: str = "doc_id"
 ) -> pa.Table:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD 2003 "Winnowing: Local Algorithms for Document
-    Fingerprinting": rolling k-token shingle hashes, min per sliding
-    window) → (id, n_shingles, fp_min, fp_xor).
+    Fingerprinting"): rolling k-token shingle hashes, min per sliding
+    window of ``window`` consecutive shingles, distinct selected minima
+    → (id, n_shingles, n_fp, fp_set).  ``fp_set`` is the sorted
+    selected-minima set comma-joined into one string — injective for
+    fixed-width hex digests, so equality on it pins the full set.
 
-    Deterministic (crc32); the pair (fp_min, fp_xor) is a compact
-    robust-ish signature for near-dup triage at scale.
+    The shingle hash is md5-hex — the repo-wide SQL-parity contract
+    (DuckDB ``md5()``), which makes the FULL selected fingerprint set
+    exactly checkable against an ANSI-SQL oracle; lexicographic order
+    on the hex strings equals numeric order on the 128-bit values, so
+    winnowing's min-selection is unchanged.  A deployment chasing the
+    last 2–3× on this stage would swap in crc32/xxhash (any
+    deterministic hash preserves winnowing's guarantees); the selection
+    logic below is hash-agnostic.
     """
     texts = batch.column("text").to_pylist()
     ids = batch.column(id_col)
-    n_sh, fp_min, fp_xor = [], [], []
+    n_sh, n_fp, fps = [], [], []
     for t in texts:
         toks = t.split(" ") if t else []
-        hs = np.array(
-            [_crc(" ".join(toks[i : i + k])) for i in range(max(0, len(toks) - k + 1))],
-            dtype=np.int64,
-        )
-        if len(hs) == 0:
+        hs = [
+            hashlib.md5(" ".join(toks[i : i + k]).encode("utf-8")).hexdigest()
+            for i in range(max(0, len(toks) - k + 1))
+        ]
+        if not hs:
             n_sh.append(0)
-            fp_min.append(0)
-            fp_xor.append(0)
+            n_fp.append(0)
+            fps.append("")
             continue
+        # hex order == numeric order, so rank each shingle hash by its
+        # position in the doc's sorted-unique hash list and window-min
+        # over the integer ranks (numpy can't reduce string dtypes).
+        uniq, inv = np.unique(np.asarray(hs), return_inverse=True)
         if len(hs) >= window:
-            mins = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
+            min_ranks = np.lib.stride_tricks.sliding_window_view(
+                inv, window
+            ).min(axis=1)
+            sel = uniq[np.unique(min_ranks)]
         else:
-            mins = np.array([hs.min()])
-        sel = np.unique(mins)
+            sel = uniq[:1]
         n_sh.append(len(hs))
-        fp_min.append(int(sel.min()))
-        fp_xor.append(int(np.bitwise_xor.reduce(sel)))
+        n_fp.append(len(sel))
+        fps.append(",".join(sel.tolist()))
     return pa.table(
         {
             id_col: ids,
             "n_shingles": pa.array(n_sh, pa.int64()),
-            "fp_min": pa.array(fp_min, pa.int64()),
-            "fp_xor": pa.array(fp_xor, pa.int64()),
+            "n_fp": pa.array(n_fp, pa.int64()),
+            "fp_set": pa.array(fps, pa.string()),
         }
     )
 

@@ -43,7 +43,9 @@ def test_fingerprint_deterministic_and_sensitive():
     out2 = text_stats.fingerprint_batch(b1)
     assert out1.equals(out2)
     r0, r1 = out1.to_pylist()
-    assert (r0["fp_min"], r0["fp_xor"]) != (r1["fp_min"], r1["fp_xor"])
+    assert r0["fp_set"] != r1["fp_set"]
+    sel = r0["fp_set"].split(",")
+    assert sel == sorted(set(sel)) and r0["n_fp"] == len(sel)
     # winnowing locality: a change in the last word only may leave the
     # selected minima — and hence the compact fingerprint — unchanged;
     # that is by design (Schleimer et al. 2003), not a defect.
