@@ -60,6 +60,8 @@ QUERY_NAMES = [
     # round-3 operators
     "repeated_substrings",
     "bloom_blocklist",
+    "langid",
+    "fingerprint",
 ]
 
 
