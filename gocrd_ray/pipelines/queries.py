@@ -2388,6 +2388,102 @@ SELECT doc_id, t AS text_redacted, n_email, n_ipv4, n_phone FROM s3
 """
 
 
+def q_lm_perplexity(sf_dir: str):
+    """CCNet-style n-gram LM quality scoring: a smoothed bigram LM is
+    trained on a deterministic hash-sampled slice of the corpus, then
+    every document is scored by average bigram log-probability (the
+    classic perplexity quality filter). Scores are order-free integer
+    fixed-point sums, so the DuckDB mirror is bit-exact — see
+    stages/lm.py for the exactness contract."""
+    from ..stages import lm
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return lm.perplexity_scores(docs)
+
+
+SQL_LM_PERPLEXITY = """
+WITH train AS (
+  SELECT string_split(COALESCE(text, ''), ' ') AS l FROM documents
+  WHERE substr(md5(doc_id::VARCHAR), 1, 8) < '28f5c28f'
+), uni AS (
+  SELECT tok, count(*) AS c1
+  FROM (SELECT unnest(l) AS tok FROM train) GROUP BY tok
+), vsize AS (
+  SELECT count(*) AS v FROM uni
+), big AS (
+  SELECT bg, count(*) AS c12
+  FROM (
+    SELECT l[s] || chr(31) || l[s + 1] AS bg
+    FROM (SELECT l, unnest(range(1, len(l))) AS s
+          FROM train WHERE len(l) >= 2)
+  ) GROUP BY bg
+), dbig AS (
+  SELECT doc_id, l[s] AS w1, l[s] || chr(31) || l[s + 1] AS bg
+  FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS s
+        FROM (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS l
+              FROM documents)
+        WHERE len(l) >= 2)
+), terms AS (
+  SELECT doc_id,
+    CAST(floor(1e7 * ln(COALESCE(b.c12, 0) + 1)) AS BIGINT)
+    - CAST(floor(1e7 * ln(COALESCE(u.c1, 0) + (SELECT v FROM vsize)))
+           AS BIGINT) AS t
+  FROM dbig LEFT JOIN big b USING (bg) LEFT JOIN uni u ON dbig.w1 = u.tok
+), agg AS (
+  SELECT doc_id, count(*) AS n, sum(t) AS s FROM terms GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n, 0)::BIGINT AS n_bigrams,
+       COALESCE(a.s, 0)::BIGINT AS score_fp,
+       CASE WHEN a.n IS NULL THEN 0.0 ELSE a.s / (1e7 * a.n) END
+         AS avg_logprob
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+MIX_TARGETS = {"en": 3.0, "de": 1.0, "fr": 1.0, "es": 1.0}
+
+
+def q_mix_sample(sf_dir: str):
+    """Deterministic training-mixture resampling (Pile/Llama-style data
+    mixing): downsample per language to target proportions via pure
+    per-row hash decisions — reproducible across runs and
+    partitionings, SQL-mirrorable, no shuffle of document rows."""
+    from ..stages import mix
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return mix.mixture_sample(docs, MIX_TARGETS)
+
+
+_MIX_VALUES = ", ".join(
+    f"('{lang}', {p})" for lang, p in MIX_TARGETS.items()
+)
+
+SQL_MIX_SAMPLE = f"""
+WITH w AS (
+  SELECT lang, p::DOUBLE AS p FROM (VALUES {_MIX_VALUES}) t(lang, p)
+), counts AS (
+  SELECT lang, count(*)::DOUBLE AS n FROM documents
+  WHERE lang IN (SELECT lang FROM w) GROUP BY lang
+), s AS (
+  SELECT min(n / p) AS s FROM counts JOIN w USING (lang)
+), th AS (
+  SELECT w.lang, (w.p * (SELECT s FROM s)) / c.n AS rate,
+         lower(lpad(to_hex(CAST(floor(((w.p * (SELECT s FROM s)) / c.n)
+                                * 4294967296.0) AS BIGINT)), 8, '0')) AS hex
+  FROM w JOIN counts c USING (lang)
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN th ON d.lang = th.lang
+WHERE th.rate >= 1.0
+   OR substr(md5(th.lang || '|' || d.doc_id::VARCHAR), 1, 8) < th.hex
+"""
+
+
 QUERIES = {
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
@@ -2456,6 +2552,8 @@ QUERIES = {
     "langid": (q_langid, SQL_LANGID),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "neardup_cosine": (q_neardup_cosine, SQL_NEARDUP_COSINE),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "mix_sample": (q_mix_sample, SQL_MIX_SAMPLE),
     # rows-only (non-SQL-expressible: probabilistic sketches / LSH
     # signatures over non-SQL hashes; each pinned behaviorally in
     # tests/test_rowsonly_validation.py and friends)
