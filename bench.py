@@ -62,6 +62,9 @@ QUERY_NAMES = [
     "bloom_blocklist",
     "langid",
     "fingerprint",
+    "lm_perplexity",
+    "mix_sample",
+    "semantic_dedup",
 ]
 
 

@@ -1778,6 +1778,33 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup semantic deduplication over the embeddings table
+    (rows-only: k-means clustering is not SQL-expressible; invariants
+    pinned in tests/test_rowsonly_validation.py). Random synthetic
+    embeddings have no natural near-dups (max pair sim ~0.51), so —
+    exactly like q_neardup_cosine — the corpus is the embeddings table
+    UNIONed with exact duplicates of vec_id < 20 (new ids +100000); the
+    expected outcome is one survivor per duplicate pair and keep=True
+    everywhere else."""
+
+    def dup_some(b: pa.Table) -> pa.Table:
+        sel = b.filter(pc.less(b.column("vec_id"), 20))
+        dup = pa.table(
+            {
+                "vec_id": pc.add(sel.column("vec_id"), 100000),
+                "embedding": sel.column("embedding"),
+            }
+        )
+        base = pa.table(
+            {"vec_id": b.column("vec_id"), "embedding": b.column("embedding")}
+        )
+        return pa.concat_tables([base, dup])
+
+    corpus = _emb(sf_dir).map_batches(dup_some, batch_format="pyarrow")
+    return similarity.semantic_dedup(corpus, threshold=0.95)
+
+
 def q_knn_ivf(sf_dir: str):
     return similarity.ivf_topk(_emb(sf_dir), [0, 1, 2, 3, 4], k=10)
 
@@ -2562,4 +2589,5 @@ QUERIES = {
     "dedup_simhash": (q_dedup_simhash, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "knn_ivf": (q_knn_ivf, None),
+    "semantic_dedup": (q_semantic_dedup, None),
 }

@@ -281,3 +281,24 @@ def _top_tokens_bounded(ds, **cfg):
     from ..stages.heavyhitters import top_k_bounded
 
     return top_k_bounded(ds, **cfg)
+
+
+@step("lm_perplexity")
+def _lm_perplexity(ds, **cfg):
+    from ..stages.lm import perplexity_scores
+
+    return perplexity_scores(ds, **cfg)
+
+
+@step("mixture_sample")
+def _mixture_sample(ds, *, targets, **cfg):
+    from ..stages.mix import mixture_sample
+
+    return mixture_sample(ds, targets, **cfg)
+
+
+@step("semantic_dedup")
+def _semantic_dedup(ds, **cfg):
+    from ..stages.similarity import semantic_dedup
+
+    return semantic_dedup(ds, **cfg)

@@ -360,6 +360,118 @@ def cosine_neardup_pairs_lsh(
     return with_b.map_batches(verify, batch_format="pyarrow")
 
 
+def _fit_centroids(ds, n_buckets: int, seed: int) -> np.ndarray:
+    """k-means-lite centroids on a seeded sample: a few Lloyd iterations
+    over the (tiny, driver-held) sample sharpen the partition vs raw
+    random picks; deterministic (seeded init, empty clusters keep their
+    previous centroid). Shared by ivf_topk and semantic_dedup."""
+    sample = ds.limit(max(n_buckets * 8, 128)).take_all()
+    rng = np.random.RandomState(seed)
+    smat = _normalize(
+        np.array([r["embedding"] for r in sample], dtype=np.float64)
+    )
+    centroids = smat[rng.choice(len(smat), size=n_buckets, replace=False)]
+    for _ in range(5):
+        assign_s = (smat @ centroids.T).argmax(axis=1)
+        for b in range(n_buckets):
+            members = smat[assign_s == b]
+            if len(members):
+                centroids[b] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def semantic_dedup(
+    ds,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    seed: int = 11,
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embedding space, then within
+    each cluster drop every item whose cosine similarity to an EARLIER
+    item (ordered by similarity-to-centroid descending, ties by id)
+    exceeds ``threshold``. One representative per semantic-duplicate
+    group survives; cross-cluster duplicates are accepted misses, as in
+    the paper.
+
+    Scale shape (10^9 vectors): centroids fit on a seeded sample and
+    broadcast once; cluster assignment is a streaming matmul map; the
+    ONE shuffle is the groupby on cluster id; the O(m²) similarity
+    matrix is per cluster, bounded by choosing ``n_clusters`` ∝ corpus
+    size so clusters stay ~constant-sized (the paper runs 50k clusters
+    for LAION-440M). Rows-only w.r.t. SQL (k-means is not
+    SQL-expressible); behavior pinned in tests/test_rowsonly_validation
+    against a brute-force reference.
+
+    Returns ``(vec_id, cluster, keep, max_prior_sim)`` for every input
+    row — the caller filters ``keep`` to materialize the deduplicated
+    corpus, or inspects ``max_prior_sim`` to tune the threshold.
+    """
+    import ray
+
+    centroids = _fit_centroids(ds, n_clusters, seed)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _normalize(_emb_matrix(batch))
+        sims = x @ c.T
+        cluster = sims.argmax(axis=1)
+        csim = sims[np.arange(len(x)), cluster]
+        ids = batch.column(id_col)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table(
+            {
+                id_col: ids,
+                "embedding": emb,
+                "cluster": pa.array(cluster, pa.int64()),
+                "csim": pa.array(csim, pa.float64()),
+            }
+        )
+
+    def dedup_cluster(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        csim = group.column("csim").to_numpy(zero_copy_only=False)
+        x = _normalize(_emb_matrix(group))
+        # deterministic order: closest-to-centroid first, ties by id
+        order = np.lexsort((ids, -csim))
+        xo = x[order]
+        m = len(order)
+        sims = xo @ xo.T
+        # max similarity to any STRICTLY EARLIER item in the order
+        iu = np.triu_indices(m, k=1)
+        upper = np.full((m, m), -np.inf)
+        upper[iu] = sims[iu]
+        max_prior = upper.max(axis=0) if m > 1 else np.full(m, -np.inf)
+        max_prior[0] = -np.inf
+        keep = ~(max_prior > threshold)
+        out_ids = ids[order]
+        cluster = group.column("cluster").to_numpy(zero_copy_only=False)[0]
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, pa.int64()),
+                "cluster": pa.array(
+                    np.full(m, cluster, dtype=np.int64), pa.int64()
+                ),
+                "keep": pa.array(keep, pa.bool_()),
+                "max_prior_sim": pa.array(
+                    np.where(np.isfinite(max_prior), max_prior, -1.0),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pyarrow")
+    )
+
+
 def ivf_topk(
     ds,
     query_ids: list[int],
@@ -379,23 +491,7 @@ def ivf_topk(
     """
     import ray
 
-    sample = ds.limit(max(n_buckets * 8, 128)).take_all()
-    rng = np.random.RandomState(seed)
-    smat = _normalize(
-        np.array([r["embedding"] for r in sample], dtype=np.float64)
-    )
-    centroids = smat[rng.choice(len(smat), size=n_buckets, replace=False)]
-    # k-means-lite: a few Lloyd iterations over the (tiny, driver-held)
-    # sample sharpen the partition vs raw random picks — measurably
-    # better recall at the same n_probe; deterministic (seeded init,
-    # empty clusters keep their previous centroid)
-    for _ in range(5):
-        assign_s = (smat @ centroids.T).argmax(axis=1)
-        for b in range(n_buckets):
-            members = smat[assign_s == b]
-            if len(members):
-                centroids[b] = members.mean(axis=0)
-        centroids = _normalize(centroids)
+    centroids = _fit_centroids(ds, n_buckets, seed)
     cref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:

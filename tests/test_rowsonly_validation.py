@@ -348,3 +348,121 @@ def test_dedup_by_url_and_cap_tolerate_null_keys(ray_session):
     ).take_all()
     # host "h" keeps its 1 row; the three null-host rows cap to 2
     assert len(capped) == 3
+
+
+# -- semantic dedup (SemDeDup) ----------------------------------------------
+
+
+def _semdedup_input():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # 3 well-separated anchor directions + exact/near duplicates of each
+    anchors = np.eye(8)[:3]
+    rows, ids = [], []
+    i = 0
+    for a in anchors:
+        for _ in range(4):  # 4 near-identical copies per anchor
+            v = a + rng.normal(scale=0.01, size=8)
+            rows.append(v / np.linalg.norm(v))
+            ids.append(i)
+            i += 1
+    for _ in range(6):  # 6 spread-out singletons
+        v = rng.normal(size=8)
+        rows.append(v / np.linalg.norm(v))
+        ids.append(i)
+        i += 1
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in rows],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+
+
+def test_semantic_dedup_collapses_near_duplicate_groups(ray_session):
+    import ray
+    from gocrd_ray.stages import similarity
+
+    tbl = _semdedup_input()
+    out = similarity.semantic_dedup(
+        ray.data.from_arrow(tbl), threshold=0.9, n_clusters=4, seed=3
+    ).to_pandas()
+    assert len(out) == len(tbl)
+    # each anchor's 4 copies (sim ≈ 0.999) collapse to ONE kept row
+    for g, lo in enumerate(range(0, 12, 4)):
+        kept = out[(out.vec_id >= lo) & (out.vec_id < lo + 4)].keep.sum()
+        assert kept == 1, f"anchor group {g}: kept {kept} of 4 near-dups"
+    # the dropped rows all carry the similarity that killed them
+    assert (out[~out.keep].max_prior_sim > 0.9).all()
+
+
+def test_semantic_dedup_keeps_distinct_vectors_and_is_deterministic(
+    ray_session,
+):
+    import numpy as np
+    import ray
+    from gocrd_ray.stages import similarity
+
+    # 12 mutually orthogonal-ish vectors: nothing to dedup
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(12), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, row)) for row in np.eye(12)],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    runs = [
+        similarity.semantic_dedup(
+            ray.data.from_arrow(tbl), threshold=0.5, n_clusters=3, seed=5
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        for _ in range(2)
+    ]
+    assert runs[0].keep.all()
+    assert runs[0].equals(runs[1])
+
+
+def test_semantic_dedup_drop_rule_matches_brute_force(ray_session):
+    """Every drop decision must agree with an independent dense
+    recomputation of the within-cluster ordered max-prior-similarity."""
+    import numpy as np
+    import ray
+    from gocrd_ray.stages import similarity
+
+    tbl = _semdedup_input()
+    thr = 0.9
+    out = (
+        similarity.semantic_dedup(
+            ray.data.from_arrow(tbl), threshold=thr, n_clusters=4, seed=3
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in tbl.to_pylist()
+    }
+    cents = similarity._fit_centroids(
+        ray.data.from_arrow(tbl), n_buckets=4, seed=3
+    )
+    for cluster, grp in out.groupby("cluster"):
+        ids = grp.vec_id.to_numpy()
+        x = np.stack([emb[i] / np.linalg.norm(emb[i]) for i in ids])
+        csim = (x @ cents.T)[:, int(cluster)]
+        order = np.lexsort((ids, -csim))
+        xo, ido = x[order], ids[order]
+        sims = xo @ xo.T
+        for pos in range(len(ido)):
+            max_prior = sims[:pos, pos].max() if pos else -np.inf
+            expect_keep = not (max_prior > thr)
+            got = bool(grp[grp.vec_id == ido[pos]].keep.iloc[0])
+            assert got == expect_keep, (cluster, ido[pos])
