@@ -65,6 +65,8 @@ QUERY_NAMES = [
     "lm_perplexity",
     "mix_sample",
     "semantic_dedup",
+    "inverted_index",
+    "tfidf_topterms",
 ]
 
 

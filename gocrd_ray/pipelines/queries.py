@@ -2511,6 +2511,68 @@ WHERE th.rate >= 1.0
 """
 
 
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build: token → sorted posting list with a
+    document-frequency cap (the IR stopword guard that also bounds the
+    largest posting list a task holds at scale)."""
+    from ..stages import index
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return index.inverted_index(docs, max_df=400)
+
+
+SQL_INVERTED_INDEX = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS tok
+    FROM documents)
+)
+SELECT tok AS token, count(*)::BIGINT AS df,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY tok HAVING count(*) <= 400
+"""
+
+
+def q_tfidf_topterms(sf_dir: str):
+    """Per-document top-5 TF-IDF keywords. Integer fixed-point scores
+    (floor(1e7·tf·ln(N/df))) make the ranking — and hence the result —
+    bit-identical to the SQL mirror; see stages/index.py."""
+    from ..stages import index
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return index.tfidf_topterms(docs, k=5)
+
+
+SQL_TFIDF_TOPTERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf
+  FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+  FROM toks GROUP BY token
+), n AS (
+  SELECT count(*)::DOUBLE AS n FROM documents
+), scored AS (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         CAST(floor(1e7 * (t.tf * ln((SELECT n FROM n) / d.df)))
+              AS BIGINT) AS score_fp
+  FROM tf t JOIN df d USING (token)
+)
+SELECT doc_id, token, tf, df, score_fp,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score_fp DESC, token ASC)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 QUERIES = {
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
@@ -2581,6 +2643,8 @@ QUERIES = {
     "neardup_cosine": (q_neardup_cosine, SQL_NEARDUP_COSINE),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "mix_sample": (q_mix_sample, SQL_MIX_SAMPLE),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
     # rows-only (non-SQL-expressible: probabilistic sketches / LSH
     # signatures over non-SQL hashes; each pinned behaviorally in
     # tests/test_rowsonly_validation.py and friends)

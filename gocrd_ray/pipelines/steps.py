@@ -302,3 +302,17 @@ def _semantic_dedup(ds, **cfg):
     from ..stages.similarity import semantic_dedup
 
     return semantic_dedup(ds, **cfg)
+
+
+@step("inverted_index")
+def _inverted_index(ds, **cfg):
+    from ..stages.index import inverted_index
+
+    return inverted_index(ds, **cfg)
+
+
+@step("tfidf_topterms")
+def _tfidf_topterms(ds, **cfg):
+    from ..stages.index import tfidf_topterms
+
+    return tfidf_topterms(ds, **cfg)
