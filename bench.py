@@ -67,6 +67,8 @@ QUERY_NAMES = [
     "semantic_dedup",
     "inverted_index",
     "tfidf_topterms",
+    "gopher_rules",
+    "c4_clean",
 ]
 
 

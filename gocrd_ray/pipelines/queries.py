@@ -2573,6 +2573,158 @@ QUALIFY rank <= 5
 """
 
 
+def _linebreak_py(texts: list) -> list:
+    """Python equivalent of LINEBREAK_SQL: lines of 8 space-separated
+    words (the shared test-fixture injection — documents.text has no
+    natural newlines)."""
+    out = []
+    for t in texts:
+        w = (t or "").split(" ")
+        out.append(
+            "\n".join(" ".join(w[i:i + 8]) for i in range(0, len(w), 8))
+        )
+    return out
+
+
+def q_gopher_rules(sf_dir: str):
+    """Gopher quality-rule bundle (Rae et al. 2021 Table A1) over
+    linebroken documents — all thresholds integer-exact (cross-
+    multiplied ratios), so every rule boolean is bit-checked."""
+    from ..stages import quality
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def inject(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "text": pa.array(
+                    _linebreak_py(b.column("text").to_pylist()), pa.string()
+                ),
+            }
+        )
+
+    return quality.gopher_rules(
+        docs.map_batches(inject, batch_format="pyarrow"), min_words=50
+    )
+
+
+SQL_GOPHER_RULES = f"""
+WITH t AS (
+  SELECT doc_id, {LINEBREAK_SQL.format(col="COALESCE(text, '')")} AS t2
+  FROM documents
+), words AS (
+  SELECT doc_id, unnest(string_split_regex(t2, '[ \n]')) AS w FROM t
+), wstats AS (
+  SELECT doc_id, count(*) AS n_words, sum(len(w)) AS sum_len,
+         count(*) FILTER (regexp_matches(w, '[a-zA-Z]')) AS n_alpha,
+         count(DISTINCT w) FILTER (w IN {STOPWORDS_SQL}) AS n_stop
+  FROM words GROUP BY doc_id
+), lns AS (
+  SELECT doc_id, unnest(string_split(t2, chr(10))) AS x FROM t
+), lstats AS (
+  SELECT doc_id, count(*) AS n_lines,
+         count(*) FILTER (x LIKE '- %' OR x LIKE '* %' OR x LIKE '•%')
+           AS n_bullet,
+         count(*) FILTER (x LIKE '%...' OR x LIKE '%…') AS n_ell_lines
+  FROM lns GROUP BY doc_id
+), syms AS (
+  SELECT doc_id,
+         (len(t2) - len(replace(t2, '#', '')))
+         + (len(t2) - len(replace(t2, '...', ''))) / 3
+         + (len(t2) - len(replace(t2, '…', ''))) AS n_symbols
+  FROM t
+), j AS (
+  SELECT w.doc_id, n_words, sum_len, n_alpha, n_stop, n_symbols,
+         n_lines, n_bullet, n_ell_lines
+  FROM wstats w JOIN lstats USING (doc_id) JOIN syms USING (doc_id)
+)
+SELECT doc_id,
+  n_words::BIGINT AS n_words, sum_len::BIGINT AS sum_word_len,
+  n_alpha::BIGINT AS n_alpha_words,
+  n_stop::BIGINT AS n_stopwords_distinct,
+  n_symbols::BIGINT AS n_symbols, n_lines::BIGINT AS n_lines,
+  n_bullet::BIGINT AS n_bullet_lines,
+  n_ell_lines::BIGINT AS n_ellipsis_lines,
+  (n_words >= 50 AND n_words <= 100000) AS r_words,
+  (sum_len >= 3 * n_words AND sum_len <= 10 * n_words) AS r_mean_len,
+  (10 * n_symbols <= n_words) AS r_symbol,
+  (10 * n_bullet <= 9 * n_lines) AS r_bullet,
+  (10 * n_ell_lines <= 3 * n_lines) AS r_ellipsis,
+  (5 * n_alpha >= 4 * n_words) AS r_alpha,
+  (n_stop >= 2) AS r_stopwords,
+  ((n_words >= 50 AND n_words <= 100000)
+   AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+   AND (10 * n_symbols <= n_words)
+   AND (10 * n_bullet <= 9 * n_lines)
+   AND (10 * n_ell_lines <= 3 * n_lines)
+   AND (5 * n_alpha >= 4 * n_words)
+   AND (n_stop >= 2)) AS keep
+FROM j
+"""
+
+
+def q_c4_clean(sf_dir: str):
+    """C4-style line filtering (Raffel et al. 2020 §2.2): keep lines
+    ending in terminal punctuation with ≥5 words, rebuild the document.
+    Fixture injection (shared with the SQL mirror): linebreak every 8
+    words, then '.'-terminate every 3rd line so the filter has a
+    non-trivial mix; the cleaned TEXT itself is bit-checked."""
+    from ..stages import quality
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def inject(b: pa.Table) -> pa.Table:
+        out = []
+        for t in _linebreak_py(b.column("text").to_pylist()):
+            ls = t.split("\n")
+            out.append(
+                "\n".join(
+                    x + "." if i % 3 == 0 else x for i, x in enumerate(ls)
+                )
+            )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "text": pa.array(out, pa.string()),
+            }
+        )
+
+    return quality.c4_line_filter(
+        docs.map_batches(inject, batch_format="pyarrow"), min_line_words=5
+    )
+
+
+SQL_C4_CLEAN = f"""
+WITH t AS (
+  SELECT doc_id, {LINEBREAK_SQL.format(col="COALESCE(text, '')")} AS t2
+  FROM documents
+), lns AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS s, unnest(l) AS x
+  FROM (SELECT doc_id, string_split(t2, chr(10)) AS l FROM t)
+), dotted AS (
+  SELECT doc_id, s,
+         CASE WHEN (s - 1) % 3 = 0 THEN x || '.' ELSE x END AS x
+  FROM lns
+), marked AS (
+  SELECT doc_id, s, x,
+         (regexp_matches(x, '[.!?"]$')
+          AND len(x) - len(replace(x, ' ', '')) + 1 >= 5) AS keep
+  FROM dotted
+)
+SELECT doc_id,
+  COALESCE(string_agg(x, chr(10) ORDER BY s) FILTER (keep), '')
+    AS text_clean,
+  count(*)::BIGINT AS n_lines,
+  count(*) FILTER (keep)::BIGINT AS n_kept
+FROM marked GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
@@ -2645,6 +2797,8 @@ QUERIES = {
     "mix_sample": (q_mix_sample, SQL_MIX_SAMPLE),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
+    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
+    "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
     # rows-only (non-SQL-expressible: probabilistic sketches / LSH
     # signatures over non-SQL hashes; each pinned behaviorally in
     # tests/test_rowsonly_validation.py and friends)

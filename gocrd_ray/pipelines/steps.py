@@ -316,3 +316,17 @@ def _tfidf_topterms(ds, **cfg):
     from ..stages.index import tfidf_topterms
 
     return tfidf_topterms(ds, **cfg)
+
+
+@step("gopher_rules")
+def _gopher_rules(ds, **cfg):
+    from ..stages.quality import gopher_rules
+
+    return gopher_rules(ds, **cfg)
+
+
+@step("c4_line_filter")
+def _c4_line_filter(ds, **cfg):
+    from ..stages.quality import c4_line_filter
+
+    return c4_line_filter(ds, **cfg)
