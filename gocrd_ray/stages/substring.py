@@ -103,35 +103,54 @@ def _inv_u64(a: np.uint64) -> np.uint64:
 
 
 def _doc_window_hashes(texts: list, L: int):
-    """Per-batch: (doc_index, pos, h1, h2) arrays for all windows."""
-    idx_out, pos_out, h1_out, h2_out = [], [], [], []
-    for d, tx in enumerate(texts):
-        cp = _codepoints(tx or "")
-        h1 = _window_hashes(cp, L, _B1)
-        if len(h1) == 0:
-            continue
-        h2 = _window_hashes(cp, L, _B2)
-        idx_out.append(np.full(len(h1), d, np.int64))
-        pos_out.append(np.arange(len(h1), dtype=np.int64))
-        h1_out.append(h1)
-        h2_out.append(h2)
-    if not idx_out:
+    """Per-batch: (doc_index, pos, h1, h2) arrays for all windows.
+
+    Vectorized across the WHOLE batch: the window hash depends only on
+    the L window characters (the suffix-sum formula normalizes away
+    everything outside it), so one rolling-hash pass over the batch's
+    concatenated code points computes every document's windows at once
+    — windows that straddle a document boundary are simply masked out.
+    This removes the per-document Python/numpy fixed cost that
+    dominated on short web documents (~5× on the sf0.1 bench)."""
+    joined = "".join(t or "" for t in texts)
+    cp = _codepoints(joined)
+    n = len(cp)
+    if n < L:
         z = np.zeros(0, np.int64)
         return z, z, np.zeros(0, np.uint64), np.zeros(0, np.uint64)
-    return (
-        np.concatenate(idx_out),
-        np.concatenate(pos_out),
-        np.concatenate(h1_out),
-        np.concatenate(h2_out),
-    )
+    lens = np.array([len(t or "") for t in texts], dtype=np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    h1 = _window_hashes(cp, L, _B1)
+    h2 = _window_hashes(cp, L, _B2)
+    i = np.arange(n - L + 1, dtype=np.int64)
+    # doc containing position i: first doc whose end exceeds i
+    doc = np.searchsorted(ends, i, side="right")
+    keep = i + L <= ends[doc]
+    didx = doc[keep]
+    pos = i[keep] - starts[didx]
+    return didx, pos, h1[keep], h2[keep]
 
 
 def duplicate_window_hashes(ds, *, min_len: int = 50,
-                            text_col: str = "text"):
+                            text_col: str = "text",
+                            n_buckets: int = 64):
     """Pass 1: Dataset of (h1, h2, n) for every length-``min_len``
     window hash occurring >= 2 times corpus-wide (multiplicity counts
     same-doc repeats, per Lee et al.). Per-batch partial aggregation
-    keeps the shuffle to narrow (hash, count) rows."""
+    keeps the shuffle to narrow (hash, count) rows.
+
+    The global sum is a ``groupby(__bucket).map_groups`` over a small
+    int bucket key (h1 mod B) + a local Arrow aggregate — NOT
+    ``groupby([h1, h2]).sum()``: window hashes are almost all distinct,
+    so a two-column groupby makes Ray range-sort millions of unique
+    128-bit keys (measured 15.6s vs ~3s for the bucketed shuffle on
+    1.2M windows). Same shape as dedup.dedup_by_url's crc32 buckets;
+    ``n_buckets`` scales the reduce fan-out independently of key count."""
+
+    out_schema = pa.schema(
+        [("h1", pa.int64()), ("h2", pa.int64()), ("n", pa.int64())]
+    )
 
     def partial(b: pa.Table) -> pa.Table:
         texts = b.column(text_col).to_pylist()
@@ -143,24 +162,27 @@ def duplicate_window_hashes(ds, *, min_len: int = 50,
             }
         )
         agg = pa.TableGroupBy(t, ["h1", "h2"]).aggregate([([], "count_all")])
-        return agg.rename_columns(["h1", "h2", "n"])
+        agg = agg.rename_columns(["h1", "h2", "n"])
+        bucket = (
+            agg.column("h1").to_numpy(zero_copy_only=False)
+            % np.int64(n_buckets)
+        ).astype(np.int32)
+        return agg.append_column("__bucket", pa.array(bucket, pa.int32()))
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    tot = partials.groupby(["h1", "h2"]).sum("n")
 
-    out_schema = pa.schema(
-        [("h1", pa.int64()), ("h2", pa.int64()), ("n", pa.int64())]
-    )
-
-    def dups_only(b: pa.Table) -> pa.Table:
-        # empty groupby outputs can arrive schema-less — pin the schema
-        # so downstream never sees a column-free block (r2 verdict #7)
-        if b.num_rows == 0 or b.num_columns < 3:
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "h1" not in g.schema.names:
             return out_schema.empty_table()
-        b = b.rename_columns(["h1", "h2", "n"])
-        return b.filter(pc.greater_equal(b.column("n"), 2)).cast(out_schema)
+        agg = pa.TableGroupBy(g, ["h1", "h2"]).aggregate([("n", "sum")])
+        agg = agg.rename_columns(["h1", "h2", "n"])
+        return agg.filter(pc.greater_equal(agg.column("n"), 2)).cast(
+            out_schema
+        )
 
-    return tot.map_batches(dups_only, batch_format="pyarrow")
+    return partials.groupby("__bucket").map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
 
 
 def repeated_substring_spans(ds, *, min_len: int = 50,
@@ -222,16 +244,22 @@ def repeated_substring_spans(ds, *, min_len: int = 50,
             hit = (lo < len(dup_keys)) & (dup_keys[lo_c] == keys)
         else:
             hit = np.zeros(len(h1), dtype=bool)
-        ids_out, s_out, e_out = [], [], []
         didx_h = didx[hit]
         pos_h = pos[hit]
-        for d in np.unique(didx_h):
-            p = np.sort(pos_h[didx_h == d])
-            brk = np.flatnonzero(np.diff(p) > min_len) + 1
-            for seg in np.split(p, brk):
-                ids_out.append(ids[d])
-                s_out.append(seg[0])
-                e_out.append(seg[-1] + min_len)
+        # (didx_h, pos_h) is generated in ascending global-window order,
+        # so it is already lexsorted by (doc, pos); spans are runs not
+        # broken by a doc change or a gap > min_len — fully vectorized
+        if len(pos_h):
+            brk = np.flatnonzero(
+                (np.diff(didx_h) != 0) | (np.diff(pos_h) > min_len)
+            ) + 1
+            seg_s = np.r_[0, brk]
+            seg_e = np.r_[brk, len(pos_h)]
+            ids_out = ids[didx_h[seg_s]]
+            s_out = pos_h[seg_s]
+            e_out = pos_h[seg_e - 1] + min_len
+        else:
+            ids_out = s_out = e_out = np.zeros(0, np.int64)
         return pa.table(
             {
                 id_col: pa.array(ids_out, pa.int64()),
