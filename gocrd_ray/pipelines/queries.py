@@ -1276,6 +1276,31 @@ WHERE substr(md5(url), 1, 8) < '28f5c28f'
 """
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: the k smallest-md5(url) rows
+    per language — the fixed-size per-stratum eval draw. Per-batch
+    partial top-k bounds the shuffle to k x strata rows per block."""
+    pages = pages_from_documents(sf_dir)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(["url", "lang"])
+
+    return dedup.stratified_sample(
+        pages.map_batches(proj, batch_format="pyarrow"),
+        strata_col="lang", key_col="url", k=10,
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT url, lang FROM (
+  SELECT url, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(url), url) AS rn
+  FROM (SELECT {URL_SQL} AS url, lang FROM documents)
+  WHERE url IS NOT NULL AND lang IS NOT NULL
+) WHERE rn <= 10
+"""
+
+
 def q_url_canon(sf_dir: str):
     """URL canonicalization kit over a deliberately-messy url column
     (uppercase scheme/host, default port, unsorted query params,
@@ -2770,6 +2795,7 @@ QUERIES = {
     "dedup_paragraphs": (q_dedup_paragraphs, SQL_DEDUP_PARAGRAPHS),
     "repeated_substrings": (q_repeated_substrings, SQL_REPEATED_SUBSTRINGS),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "url_canon": (q_url_canon, SQL_URL_CANON),
     "events_preceding": (q_events_preceding, SQL_EVENTS_PRECEDING),
     "image_meta": (q_image_meta, SQL_IMAGE_META),

@@ -229,6 +229,64 @@ def hash_sample(ds, *, col: str = "url", hex_threshold: str = "28f5c28f"):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_sample(ds, *, strata_col: str = "lang",
+                      key_col: str = "url", k: int = 10):
+    """Deterministic stratified sampling: the ``k`` rows with the
+    smallest md5(key_col) digest per stratum — a fixed-size,
+    reproducible per-language / per-domain eval draw (the stratified
+    companion to hash_sample's rate-based global draw).
+
+    Scale shape: every batch pre-truncates to its own per-stratum
+    top-k (vectorized lexsort + run-rank), so the ONE groupby shuffle
+    carries <= k x (strata seen in the block) rows per block — never
+    the corpus; the per-stratum merge re-applies the identical rule to
+    the union of partials (top-k is a mergeable aggregate). Null keys
+    or strata are dropped up front (poison-row principle: a malformed
+    row must never kill a batch). md5 + key tiebreak is the SQL
+    contract: ``row_number() OVER (PARTITION BY stratum ORDER BY
+    md5(key), key) <= k``.
+    """
+
+    def _topk(b: pa.Table, digs: np.ndarray) -> tuple:
+        strata = np.asarray(b.column(strata_col).to_pylist(), dtype=object)
+        keys = np.asarray(b.column(key_col).to_pylist(), dtype=object)
+        order = np.lexsort((keys, digs, strata))
+        ss = strata[order]
+        starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+        runs = np.diff(np.r_[starts, len(ss)])
+        rank = np.arange(len(ss)) - np.repeat(starts, runs)
+        return order[rank < k]
+
+    def partial(b: pa.Table) -> pa.Table:
+        valid = pc.and_(
+            pc.is_valid(b.column(strata_col)), pc.is_valid(b.column(key_col))
+        )
+        b = b.filter(valid)
+        if b.num_rows == 0:
+            return b.append_column("__dig", pa.array([], pa.string()))
+        digs = np.array(
+            [
+                hashlib.md5(str(v).encode("utf-8")).hexdigest()
+                for v in b.column(key_col).to_pylist()
+            ],
+            dtype=object,
+        )
+        sel = _topk(b, digs)
+        return b.take(pa.array(sel)).append_column(
+            "__dig", pa.array(digs[sel], pa.string())
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        digs = np.asarray(g.column("__dig").to_pylist(), dtype=object)
+        sel = _topk(g, digs)
+        return g.take(pa.array(sel)).drop_columns(["__dig"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(strata_col).map_groups(
+        merge, batch_format="pyarrow"
+    )
+
+
 # -- shingles / MinHash ------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1

@@ -195,3 +195,41 @@ def test_per_key_cap_partition_invariant(ray_session):
         urls = [f"u{i}" for i in range(300) if f"h{i % 3}" == h]
         want = sorted(urls, key=lambda u: hashlib.md5(u.encode()).hexdigest())[:4]
         assert sorted(u for hh, u in a if hh == h) == sorted(want)
+
+
+def test_stratified_sample_partition_invariant_and_nulls(ray_session):
+    import hashlib
+
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "lang": [None if i == 7 else f"l{i % 4}" for i in range(400)],
+            "url": [None if i == 13 else f"u{i}" for i in range(400)],
+        }
+    )
+
+    def run(parts):
+        return sorted(
+            (r["lang"], r["url"])
+            for r in dedup.stratified_sample(
+                ray.data.from_arrow(tbl).repartition(parts),
+                strata_col="lang", key_col="url", k=5,
+            ).take_all()
+        )
+
+    a = run(1)
+    assert run(13) == a  # partitioning must not change the draw
+    from collections import Counter
+
+    assert Counter(l for l, _ in a) == {f"l{j}": 5 for j in range(4)}
+    # winners = globally smallest md5 digests per stratum (null rows out)
+    for j in range(4):
+        urls = [
+            f"u{i}" for i in range(400)
+            if i not in (7, 13) and i % 4 == j
+        ]
+        want = sorted(
+            urls, key=lambda u: (hashlib.md5(u.encode()).hexdigest(), u)
+        )[:5]
+        assert sorted(u for l, u in a if l == f"l{j}") == sorted(want)
