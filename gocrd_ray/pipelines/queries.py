@@ -944,6 +944,63 @@ SELECT node AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY node
 )
 
 
+def q_dedup_fuzzy_corpus(sf_dir: str):
+    """The END-TO-END fuzzy-dedup user pipeline, composed entirely from
+    the scale paths: MinHash-LSH candidates → exact-Jaccard verify
+    (co-partitioned shingle lookups) → distributed connected components
+    → drop every cluster member except the min-id representative via
+    the Bloom + co-partitioned exact anti-join (the loser-id set never
+    broadcasts). Output = the surviving corpus — what a user actually
+    ships to training."""
+    from ..stages import bloom
+
+    pairs = dedup.verified_jaccard_pairs(_docs(sf_dir))
+    labels = dedup.connected_components_distributed(pairs)
+
+    def losers_only(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b.column("doc_id"), b.column("cluster_id")))
+        return pa.table(
+            {"key": pc.cast(t.column("doc_id"), pa.string())}
+        )
+
+    losers = labels.map_batches(losers_only, batch_format="pyarrow")
+
+    def with_key(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "text"])
+        return b.append_column(
+            "__key", pc.cast(b.column("doc_id"), pa.string())
+        )
+
+    corpus = _docs(sf_dir).map_batches(with_key, batch_format="pyarrow")
+    kept = bloom.bloom_blocklist_filter_ds(
+        corpus, losers, key_col="__key", blocked_col="key"
+    )
+    return kept.map_batches(
+        lambda b: b.drop_columns(["__key"]), batch_format="pyarrow"
+    )
+
+
+SQL_DEDUP_FUZZY_CORPUS = (
+    """
+WITH RECURSIVE p AS ("""
+    + SQL_NGRAM_JACCARD.strip().rstrip()
+    + """
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION SELECT id_b, id_a FROM p
+), cc(node, lbl) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, c.lbl FROM sym s JOIN cc c ON c.node = s.b
+), lblmin AS (
+  SELECT node, min(lbl) AS cluster_id FROM cc GROUP BY node
+)
+SELECT doc_id, text FROM documents
+WHERE doc_id NOT IN (SELECT node FROM lblmin WHERE node != cluster_id)
+"""
+)
+
+
 def q_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(
         text_stats.token_stats_batch, batch_format="pyarrow"
@@ -1830,8 +1887,73 @@ def q_semantic_dedup(sf_dir: str):
     return similarity.semantic_dedup(corpus, threshold=0.95)
 
 
+def q_semantic_dedup_grid(sf_dir: str):
+    """SemDeDup with the SQL-expressible sign-bit grid quantizer
+    (similarity.semantic_dedup(grid_bits=2)): same within-cluster
+    drop-if-similar-to-earlier rule as q_semantic_dedup, but partition
+    and order are mirrorable in ANSI SQL, so the plumbing is
+    bit-checked. Same dup-injected corpus as q_semantic_dedup; output
+    projected to (vec_id, cluster, keep) — float-free."""
+
+    def dup_some(b: pa.Table) -> pa.Table:
+        sel = b.filter(pc.less(b.column("vec_id"), 20))
+        dup = pa.table(
+            {
+                "vec_id": pc.add(sel.column("vec_id"), 100000),
+                "embedding": sel.column("embedding"),
+            }
+        )
+        base = pa.table(
+            {"vec_id": b.column("vec_id"), "embedding": b.column("embedding")}
+        )
+        return pa.concat_tables([base, dup])
+
+    corpus = _emb(sf_dir).map_batches(dup_some, batch_format="pyarrow")
+    out = similarity.semantic_dedup(corpus, threshold=0.95, grid_bits=2)
+    return out.map_batches(
+        lambda b: b.select(["vec_id", "cluster", "keep"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SEMANTIC_DEDUP_GRID = """
+WITH all_e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20
+), assigned AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)::BIGINT AS cluster
+  FROM all_e
+), prior AS (
+  SELECT a.vec_id,
+         max(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[])) AS mps
+  FROM assigned a JOIN assigned b
+    ON b.cluster = a.cluster AND b.vec_id < a.vec_id
+  GROUP BY a.vec_id
+)
+SELECT a.vec_id, a.cluster,
+       (p.mps IS NULL OR p.mps <= 0.95) AS keep
+FROM assigned a LEFT JOIN prior p USING (vec_id)
+"""
+
+
 def q_knn_ivf(sf_dir: str):
     return similarity.ivf_topk(_emb(sf_dir), [0, 1, 2, 3, 4], k=10)
+
+
+def q_knn_ivf_exact(sf_dir: str):
+    """IVF with n_probe == n_buckets: every inverted list is probed, so
+    the result is EXACTLY brute-force top-k — this drives the full IVF
+    machinery (seeded-sample centroids, streaming bucket assignment,
+    probe routing, per-bucket scoring, global merge) through the same
+    bit-checked SQL oracle as knn_cosine. q_knn_ivf keeps the
+    approximate n_probe=4 form (rows-only, recall-pinned in pytest)."""
+    return similarity.ivf_topk(
+        _emb(sf_dir), [0, 1, 2, 3, 4], k=10, n_buckets=16, n_probe=16
+    )
 
 
 NEARDUP_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
@@ -2778,6 +2900,7 @@ QUERIES = {
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_verified": (q_dedup_verified, SQL_DEDUP_VERIFIED),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_fuzzy_corpus": (q_dedup_fuzzy_corpus, SQL_DEDUP_FUZZY_CORPUS),
     "orders_enriched": (q_orders_enriched, SQL_ORDERS_ENRICHED),
     "orders_hash_join": (q_orders_hash_join, SQL_ORDERS_HASH_JOIN),
     "orders_native_join": (q_orders_native_join, SQL_ORDERS_NATIVE_JOIN),
@@ -2833,5 +2956,7 @@ QUERIES = {
     "dedup_simhash": (q_dedup_simhash, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "knn_ivf": (q_knn_ivf, None),
+    "knn_ivf_exact": (q_knn_ivf_exact, SQL_KNN_COSINE),
     "semantic_dedup": (q_semantic_dedup, None),
+    "semantic_dedup_grid": (q_semantic_dedup_grid, SQL_SEMANTIC_DEDUP_GRID),
 }

@@ -387,6 +387,7 @@ def semantic_dedup(
     n_clusters: int = 16,
     id_col: str = "vec_id",
     seed: int = 11,
+    grid_bits: int = 0,
 ):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cluster the embedding space, then within
@@ -408,30 +409,60 @@ def semantic_dedup(
     Returns ``(vec_id, cluster, keep, max_prior_sim)`` for every input
     row — the caller filters ``keep`` to materialize the deduplicated
     corpus, or inspects ``max_prior_sim`` to tune the threshold.
+
+    ``grid_bits > 0`` swaps the k-means quantizer for a deterministic
+    sign-bit grid (cluster = sum_d [emb[d] >= 0] << d over the first
+    ``grid_bits`` dims) with within-cluster order by id ascending —
+    the same within-cluster dedup rule, but the partition and order
+    are ANSI-SQL-expressible, so the whole SemDeDup plumbing gets a
+    bit-checked DuckDB mirror (q_semantic_dedup_grid). The k-means
+    form stays the quality path (grid cells don't adapt to density).
     """
     import ray
 
-    centroids = _fit_centroids(ds, n_clusters, seed)
-    cref = ray.put(centroids)
+    if grid_bits:
+        weights = 1 << np.arange(grid_bits, dtype=np.int64)
 
-    def assign(batch: pa.Table) -> pa.Table:
-        c = ray.get(cref)
-        x = _normalize(_emb_matrix(batch))
-        sims = x @ c.T
-        cluster = sims.argmax(axis=1)
-        csim = sims[np.arange(len(x)), cluster]
-        ids = batch.column(id_col)
-        emb = batch.column("embedding")
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        return pa.table(
-            {
-                id_col: ids,
-                "embedding": emb,
-                "cluster": pa.array(cluster, pa.int64()),
-                "csim": pa.array(csim, pa.float64()),
-            }
-        )
+        def assign(batch: pa.Table) -> pa.Table:
+            x = _emb_matrix(batch)
+            bits = (x[:, :grid_bits] >= 0).astype(np.int64)
+            cluster = bits @ weights
+            ids = batch.column(id_col)
+            emb = batch.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            return pa.table(
+                {
+                    id_col: ids,
+                    "embedding": emb,
+                    "cluster": pa.array(cluster, pa.int64()),
+                    # constant csim -> the lexsort in dedup_cluster
+                    # degenerates to pure id order (the SQL contract)
+                    "csim": pa.array(np.zeros(len(x)), pa.float64()),
+                }
+            )
+    else:
+        centroids = _fit_centroids(ds, n_clusters, seed)
+        cref = ray.put(centroids)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            x = _normalize(_emb_matrix(batch))
+            sims = x @ c.T
+            cluster = sims.argmax(axis=1)
+            csim = sims[np.arange(len(x)), cluster]
+            ids = batch.column(id_col)
+            emb = batch.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            return pa.table(
+                {
+                    id_col: ids,
+                    "embedding": emb,
+                    "cluster": pa.array(cluster, pa.int64()),
+                    "csim": pa.array(csim, pa.float64()),
+                }
+            )
 
     def dedup_cluster(group: pa.Table) -> pa.Table:
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
