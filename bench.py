@@ -69,6 +69,10 @@ QUERY_NAMES = [
     "tfidf_topterms",
     "gopher_rules",
     "c4_clean",
+    "stratified_sample",
+    "dedup_fuzzy_corpus",
+    "knn_ivf_exact",
+    "semantic_dedup_grid",
 ]
 
 

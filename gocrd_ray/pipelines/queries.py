@@ -12,6 +12,8 @@ and integer widths (int64) are chosen to match DuckDB's output exactly.
 
 from __future__ import annotations
 
+import hashlib
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -614,6 +616,73 @@ WHERE doc_id % 50 >= 5
 
 def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_docs(sf_dir))
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Incremental crawl dedup: drop every NEW-snapshot document whose
+    exact text (md5) already exists in the PREVIOUS snapshot — the
+    standard new-crawl-vs-archive stage. The archive is the even docs;
+    the new snapshot is the odd docs plus re-crawls of archive pages
+    (doc_id < 40, re-tagged +1000000 — same dup-injection pattern as
+    q_neardup_cosine, so the drop path is exercised at every sf). The
+    archive digest set rides the Bloom + co-partitioned exact verify
+    (bloom_blocklist_filter_ds): worker memory is bounded by the Bloom
+    bits however large the archive — at 10^12 archived docs the
+    digests NEVER broadcast."""
+    from ..stages import bloom
+
+    def _with_dig(b: pa.Table, out: str) -> pa.Table:
+        digs = pa.array(
+            [
+                hashlib.md5(t.encode("utf-8")).hexdigest()
+                for t in b.column("text").to_pylist()
+            ],
+            pa.string(),
+        )
+        return b.append_column(out, digs)
+
+    docs = _docs(sf_dir)
+
+    def old_snap(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return _with_dig(
+            b.filter(pa.array(ids % 2 == 0)).select(["doc_id", "text"]),
+            "dig",
+        ).select(["dig"])
+
+    def new_snap(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        odd = b.filter(pa.array(ids % 2 == 1)).select(["doc_id", "text"])
+        recrawl = b.filter(pa.array((ids % 2 == 0) & (ids < 40)))
+        recrawl = pa.table(
+            {
+                "doc_id": pc.add(recrawl.column("doc_id"), 1000000),
+                "text": recrawl.column("text"),
+            }
+        )
+        return _with_dig(pa.concat_tables([odd, recrawl]), "__dig")
+
+    old_digests = docs.map_batches(old_snap, batch_format="pyarrow")
+    new_docs = docs.map_batches(new_snap, batch_format="pyarrow")
+    kept = bloom.bloom_blocklist_filter_ds(
+        new_docs, old_digests, key_col="__dig", blocked_col="dig"
+    )
+    return kept.map_batches(
+        lambda b: b.drop_columns(["__dig"]), batch_format="pyarrow"
+    )
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH new_snap AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id < 40
+)
+SELECT doc_id, text FROM new_snap
+WHERE md5(text) NOT IN
+      (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+"""
 
 
 SQL_DEDUP_EXACT = """
@@ -1603,6 +1672,26 @@ SELECT doc_id::VARCHAR AS url,
        string_agg('doc ' || doc_id::VARCHAR || ' page ' || pg::VARCHAR,
                   chr(10) ORDER BY pg) AS text
 FROM p GROUP BY doc_id
+"""
+
+
+def q_chunk_stride(sf_dir: str):
+    """Overlapping context-window chunking (size 200, stride 150): the
+    LM-pretraining chunker for documents longer than one context
+    window. Pure per-batch map; the kernel loops over chunk ordinals
+    (whole-column utf8 slices), never rows."""
+    return text_stats.chunk_stride(_docs(sf_dir), size=200, stride=150)
+
+
+SQL_CHUNK_STRIDE = """
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(range(CAST(ceil(length(text) / 150.0) AS BIGINT))) AS i
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, i::BIGINT AS chunk_id,
+       substr(text, (i * 150 + 1)::INTEGER, 200) AS chunk_text
+FROM c
 """
 
 
@@ -2893,6 +2982,7 @@ QUERIES = {
     "top_hosts": (q_top_hosts, SQL_TOP_HOSTS),
     "manifest_find": (q_manifest_find, SQL_MANIFEST_FIND),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
     "dedup_url": (q_dedup_url, SQL_DEDUP_URL),
     "dedup_url_latest": (q_dedup_url_latest, SQL_DEDUP_URL_LATEST),
@@ -2926,6 +3016,7 @@ QUERIES = {
     "common_tokens": (q_common_tokens, SQL_COMMON_TOKENS),
     "pdf_text": (q_pdf_text, SQL_PDF_TEXT),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
+    "chunk_stride": (q_chunk_stride, SQL_CHUNK_STRIDE),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "pipeline_pack_train": (q_pipeline_pack_train, SQL_PIPELINE_PACK_TRAIN),
     "host_cap": (q_host_cap, SQL_HOST_CAP),

@@ -416,3 +416,62 @@ def normalize_text(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         lambda b: normalize_batch(b, text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
     )
+
+
+def chunk_stride(ds, *, size: int = 200, stride: int = 150,
+                 text_col: str = "text", id_col: str = "doc_id"):
+    """Overlapping context-window chunking: emit the character windows
+    [0, size), [stride, stride+size), ... for every start < length —
+    the LM-pretraining chunker for documents longer than one context
+    window (overlap = size - stride preserves cross-boundary n-grams).
+
+    Pure per-batch map, no shuffle. The loop is over CHUNK ORDINALS
+    present in the batch (<= ceil(max_len / stride)), never over rows:
+    each ordinal is one whole-column utf8 slice + filter. Null texts
+    are dropped (poison-row principle); empty texts produce no chunks,
+    matching the SQL mirror's range(ceil(len/stride)).
+    """
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("chunk_id", pa.int64()),
+            pa.field("chunk_text", pa.string()),
+        ]
+    )
+
+    def chunks(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(text_col)))
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        lens = pc.utf8_length(b.column(text_col)).to_numpy(
+            zero_copy_only=False
+        )
+        max_n = int(-(-int(lens.max()) // stride)) if len(lens) else 0
+        parts = []
+        for ci in range(max_n):
+            start = ci * stride
+            mask = pa.array(lens > start)
+            sub = b.filter(mask)
+            if sub.num_rows == 0:
+                break
+            txt = pc.utf8_slice_codeunits(
+                sub.column(text_col), start=start, stop=start + size
+            )
+            parts.append(
+                pa.table(
+                    {
+                        id_col: pc.cast(sub.column(id_col), pa.int64()),
+                        "chunk_id": pa.array(
+                            np.full(sub.num_rows, ci, np.int64)
+                        ),
+                        "chunk_text": txt,
+                    },
+                    schema=out_schema,
+                )
+            )
+        return (
+            pa.concat_tables(parts) if parts else out_schema.empty_table()
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")

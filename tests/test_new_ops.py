@@ -233,3 +233,31 @@ def test_stratified_sample_partition_invariant_and_nulls(ray_session):
             urls, key=lambda u: (hashlib.md5(u.encode()).hexdigest(), u)
         )[:5]
         assert sorted(u for l, u in a if l == f"l{j}") == sorted(want)
+
+
+def test_chunk_stride_overlap_and_edges(ray_session):
+    import ray.data
+
+    from gocrd_ray.stages import text_stats
+
+    tbl = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a" * 450, "äöü" * 10, "", None],  # 450, 30, 0, null
+        }
+    )
+    out = text_stats.chunk_stride(
+        ray.data.from_arrow(tbl), size=200, stride=150
+    ).take_all()
+    rows = sorted((r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in out)
+    # doc 0: ceil(450/150)=3 chunks at starts 0/150/300 with sizes 200/200/150
+    d0 = [r for r in rows if r[0] == 0]
+    assert [len(t) for _, _, t in d0] == [200, 200, 150]
+    assert [c for _, c, _ in d0] == [0, 1, 2]
+    # overlap: chars 150..200 of chunk0 == first 50 of chunk1
+    assert d0[0][2][150:200] == d0[1][2][:50]
+    # doc 1: 30 chars (multi-byte) -> one chunk, character-sliced
+    d1 = [r for r in rows if r[0] == 1]
+    assert d1 == [(1, 0, "äöü" * 10)]
+    # empty and null texts produce nothing
+    assert not [r for r in rows if r[0] in (2, 3)]
