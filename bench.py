@@ -71,6 +71,9 @@ QUERY_NAMES = [
     "c4_clean",
     "stratified_sample",
     "dedup_fuzzy_corpus",
+    "dedup_incremental",
+    "chunk_stride",
+    "substring_clean",
     "knn_ivf_exact",
     "semantic_dedup_grid",
 ]

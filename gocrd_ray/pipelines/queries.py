@@ -1382,6 +1382,57 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
+def q_substring_clean(sf_dir: str):
+    """Lee et al.'s dedup ACTION: cut every corpus-repeated >= 50-char
+    window span out of the text. Every doc comes back (text_clean =
+    original text for the clean majority, spliced for the rest); the
+    cut happens inside the mark pass itself — no extra join."""
+    from ..stages import substring
+
+    return substring.repeated_substring_cut(
+        _docs(sf_dir), min_len=50, text_col="text", id_col="doc_id"
+    )
+
+
+SQL_SUBSTRING_CLEAN = """
+WITH d AS (
+  SELECT doc_id, text, unnest(range(length(text) - 49)) AS pos
+  FROM documents WHERE length(text) >= 50
+),
+wins AS (
+  SELECT doc_id, pos, substr(text, pos::INTEGER + 1, 50) AS w FROM d
+),
+hits AS (
+  SELECT doc_id, pos FROM wins
+  WHERE w IN (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2)
+),
+cover AS (
+  SELECT DISTINCT doc_id, pos + unnest(range(50)) AS ci FROM hits
+),
+chars AS (
+  SELECT doc_id, i, substr(text, i::INTEGER + 1, 1) AS ch
+  FROM (SELECT doc_id, text, unnest(range(length(text))) AS i
+        FROM documents)
+),
+kept AS (
+  SELECT c.doc_id, c.i, c.ch
+  FROM chars c LEFT JOIN cover v
+    ON v.doc_id = c.doc_id AND v.ci = c.i
+  WHERE v.doc_id IS NULL
+)
+SELECT d.doc_id,
+       CASE WHEN k.text_clean IS NOT NULL THEN k.text_clean
+            WHEN h.doc_id IS NOT NULL THEN ''
+            ELSE d.text END AS text_clean
+FROM documents d
+LEFT JOIN (SELECT DISTINCT doc_id FROM hits) h ON h.doc_id = d.doc_id
+LEFT JOIN (
+  SELECT doc_id, string_agg(ch, '' ORDER BY i) AS text_clean
+  FROM kept GROUP BY doc_id
+) k ON k.doc_id = d.doc_id
+"""
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic reproducible sampling by content hash — the QA /
     eval-split stage (pure per-row filter, no RNG state, no shuffle)."""
@@ -3007,6 +3058,7 @@ QUERIES = {
     "top_tokens_per_lang": (q_top_tokens_per_lang, SQL_TOP_TOKENS_PER_LANG),
     "dedup_paragraphs": (q_dedup_paragraphs, SQL_DEDUP_PARAGRAPHS),
     "repeated_substrings": (q_repeated_substrings, SQL_REPEATED_SUBSTRINGS),
+    "substring_clean": (q_substring_clean, SQL_SUBSTRING_CLEAN),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "url_canon": (q_url_canon, SQL_URL_CANON),

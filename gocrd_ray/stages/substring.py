@@ -270,3 +270,84 @@ def repeated_substring_spans(ds, *, min_len: int = 50,
         )
 
     return ds.map_batches(mark, batch_format="pyarrow")
+
+
+def repeated_substring_cut(ds, *, min_len: int = 50,
+                           text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Lee et al.'s actual dedup action: CUT every repeated span out of
+    the text. Returns (id_col, text_clean) for EVERY input doc — docs
+    with no repeated window pass through byte-identical.
+
+    Same two passes as repeated_substring_spans; the cut happens inside
+    the mark map itself (spans for a doc are complete within its batch),
+    so there is no extra join. The per-doc string surgery is a Python
+    splice, but it only runs for docs that actually contain a repeated
+    window — the clean majority is passed through as unmodified Arrow.
+    """
+    import ray
+
+    dup = duplicate_window_hashes(ds, min_len=min_len, text_col=text_col)
+
+    blocks = [
+        b
+        for b in (ray.get(r) for r in dup.to_arrow_refs())
+        if b.num_rows and "h1" in b.schema.names
+    ]
+    h1s = np.concatenate(
+        [b.column("h1").to_numpy(zero_copy_only=False) for b in blocks]
+    ) if blocks else np.zeros(0, np.int64)
+    h2s = np.concatenate(
+        [b.column("h2").to_numpy(zero_copy_only=False) for b in blocks]
+    ) if blocks else np.zeros(0, np.int64)
+    dup_keys = _pair_keys(h1s, h2s)
+    dup_keys.sort()
+    dup_ref = ray.put(dup_keys)
+
+    out_schema = pa.schema(
+        [pa.field(id_col, pa.int64()), pa.field("text_clean", pa.string())]
+    )
+
+    def cut(b: pa.Table) -> pa.Table:
+        dup_keys = ray.get(dup_ref)
+        texts = b.column(text_col).to_pylist()
+        ids = pc.cast(b.column(id_col), pa.int64())
+        didx, pos, h1, h2 = _doc_window_hashes(texts, min_len)
+        if len(dup_keys) and len(h1):
+            keys = _pair_keys(h1.astype(np.int64), h2.astype(np.int64))
+            lo = np.searchsorted(dup_keys, keys)
+            lo_c = np.minimum(lo, len(dup_keys) - 1)
+            hit = (lo < len(dup_keys)) & (dup_keys[lo_c] == keys)
+        else:
+            hit = np.zeros(len(h1), dtype=bool)
+        didx_h = didx[hit]
+        pos_h = pos[hit]
+        cleaned = list(texts)
+        if len(pos_h):
+            # runs of overlapping/adjacent hit windows, as in
+            # repeated_substring_spans; splice each doc once
+            brk = np.flatnonzero(
+                (np.diff(didx_h) != 0) | (np.diff(pos_h) > min_len)
+            ) + 1
+            seg_s = np.r_[0, brk]
+            seg_e = np.r_[brk, len(pos_h)]
+            by_doc: dict = {}
+            for a, z in zip(seg_s, seg_e):
+                d = int(didx_h[a])
+                by_doc.setdefault(d, []).append(
+                    (int(pos_h[a]), int(pos_h[z - 1]) + min_len)
+                )
+            for d, spans in by_doc.items():
+                t = texts[d]
+                parts, prev = [], 0
+                for s, e in spans:  # already sorted, non-overlapping
+                    parts.append(t[prev:s])
+                    prev = e
+                parts.append(t[prev:])
+                cleaned[d] = "".join(parts)
+        return pa.table(
+            {id_col: ids, "text_clean": pa.array(cleaned, pa.string())},
+            schema=out_schema,
+        )
+
+    return ds.map_batches(cut, batch_format="pyarrow")

@@ -97,3 +97,43 @@ def test_unicode_alignment(ray_session):
     L = len(core)
     got = _run(texts, L)
     assert got == [(0, 2, 2 + L), (1, 4, 4 + L)]
+
+
+def test_repeated_substring_cut_matches_span_splice(ray_session):
+    import ray.data
+
+    boiler = "COMMON LICENSE BOILERPLATE " * 4  # 108 chars, repeated
+    texts = {
+        0: "unique preamble zero " + boiler + " unique tail zero",
+        1: "another distinct intro " + boiler + " other ending",
+        2: "totally unique document with no repeats at all here",
+        3: boiler,  # fully covered -> cut to ""
+    }
+    L = 50
+    tbl = pa.table(
+        {"doc_id": list(texts), "text": [texts[k] for k in texts]}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in substring.repeated_substring_cut(
+            ds, min_len=L, text_col="text", id_col="doc_id"
+        ).take_all()
+    }
+    # splice oracle: remove every span reported by the (already pinned)
+    # span finder from the original text
+    spans = {}
+    for did, s, e in _brute_spans(texts, L):
+        spans.setdefault(did, []).append((s, e))
+    want = {}
+    for did, tx in texts.items():
+        parts, prev = [], 0
+        for s, e in sorted(spans.get(did, [])):
+            parts.append(tx[prev:s])
+            prev = e
+        parts.append(tx[prev:])
+        want[did] = "".join(parts)
+    assert got == want
+    assert got[2] == texts[2]          # clean doc byte-identical
+    assert got[3] == ""                # fully repeated doc emptied
+    assert boiler not in got[0] and boiler not in got[1]
