@@ -72,6 +72,8 @@ QUERY_NAMES = [
     "stratified_sample",
     "dedup_fuzzy_corpus",
     "dedup_incremental",
+    "dedup_incremental_fuzzy",
+    "quality_gate",
     "chunk_stride",
     "substring_clean",
     "knn_ivf_exact",

@@ -672,6 +672,48 @@ def q_dedup_incremental(sf_dir: str):
     )
 
 
+def q_dedup_incremental_fuzzy(sf_dir: str):
+    """FUZZY incremental crawl dedup: drop every new-snapshot doc that
+    is a NEAR-duplicate (verified shingle Jaccard, 2·inter >= uni) of
+    some archive doc — the asymmetric query-vs-archive LSH stage a
+    rolling crawl runs after the exact digest pass. Composed from the
+    scale paths: verified_jaccard_pairs over the union, cross-snapshot
+    pairs only, Bloom + co-partitioned loser anti-join (the loser-id
+    set never broadcasts). Snapshots simulated by doc_id parity."""
+    import numpy as np
+
+    from ..stages import bloom
+
+    pairs = dedup.verified_jaccard_pairs(_docs(sf_dir))
+
+    def cross_losers(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False)
+        bb = b.column("id_b").to_numpy(zero_copy_only=False)
+        cross = (a % 2) != (bb % 2)
+        a, bb = a[cross], bb[cross]
+        odd = np.where(a % 2 == 1, a, bb)
+        return pa.table(
+            {"key": pa.array([str(v) for v in odd], pa.string())}
+        )
+
+    losers = pairs.map_batches(cross_losers, batch_format="pyarrow")
+
+    def new_snap(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % 2 == 1)).select(["doc_id", "text"])
+        return b.append_column(
+            "__key", pc.cast(b.column("doc_id"), pa.string())
+        )
+
+    new_docs = _docs(sf_dir).map_batches(new_snap, batch_format="pyarrow")
+    kept = bloom.bloom_blocklist_filter_ds(
+        new_docs, losers, key_col="__key", blocked_col="key"
+    )
+    return kept.map_batches(
+        lambda b: b.drop_columns(["__key"]), batch_format="pyarrow"
+    )
+
+
 SQL_DEDUP_INCREMENTAL = """
 WITH new_snap AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
@@ -713,6 +755,22 @@ WHERE len(list_intersect(a.sh, b.sh)) > 0
   AND 2 * len(list_intersect(a.sh, b.sh))
       >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
 """
+
+
+SQL_DEDUP_INCREMENTAL_FUZZY = (
+    """
+WITH p AS ("""
+    + SQL_NGRAM_JACCARD.strip().rstrip()
+    + """
+)
+SELECT doc_id, text FROM documents
+WHERE doc_id % 2 = 1
+  AND doc_id NOT IN (
+    SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END FROM p
+    WHERE (id_a % 2) != (id_b % 2)
+  )
+"""
+)
 
 
 def q_lineitem_agg(sf_dir: str):
@@ -2467,6 +2525,43 @@ FROM documents WHERE n_chars IS NOT NULL
 """
 
 
+def q_quality_gate(sf_dir: str):
+    """Sketch-driven ADAPTIVE filter: keep documents whose binned
+    n_chars reaches the corpus median, where the median comes from the
+    mergeable histogram sketch (exact-to-bin, so the whole
+    threshold-then-filter chain is SQL-checkable). Each block reduces
+    to one bincount partial; the driver sees only the tiny histogram
+    and broadcasts ONE scalar; the gate itself is a pure streaming
+    map — the shape of every distribution-relative curation cut
+    ('drop the bottom half by length/quality') at 10^12 rows."""
+    from ..stages import sketch
+
+    base = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("n_chars"))),
+        batch_format="pyarrow",
+    )
+    qt = sketch.hist_quantiles(base, value_col="n_chars", bin_width=16)
+    q50 = qt.column("q50")[0].as_py()
+
+    def keep(b: pa.Table) -> pa.Table:
+        binned = pc.multiply(
+            pc.divide(pc.cast(b.column("n_chars"), pa.int64()), 16), 16
+        )
+        return b.filter(pc.greater_equal(binned, q50))
+
+    return base.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_QUALITY_GATE = """
+WITH q AS (SELECT quantile_disc((n_chars // 16) * 16, 0.5) AS q50
+           FROM documents WHERE n_chars IS NOT NULL)
+SELECT doc_id, n_chars FROM documents, q
+WHERE n_chars IS NOT NULL AND (n_chars // 16) * 16 >= q.q50
+"""
+
+
 def q_bloom_blocklist(sf_dir: str):
     """Domain exclusion via the Bloom-prefiltered blocklist, scale
     form (r2 verdict #4): ~10 bits/key broadcast once, clean rows pay
@@ -3034,6 +3129,9 @@ QUERIES = {
     "manifest_find": (q_manifest_find, SQL_MANIFEST_FIND),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "dedup_incremental_fuzzy": (
+        q_dedup_incremental_fuzzy, SQL_DEDUP_INCREMENTAL_FUZZY
+    ),
     "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
     "dedup_url": (q_dedup_url, SQL_DEDUP_URL),
     "dedup_url_latest": (q_dedup_url_latest, SQL_DEDUP_URL_LATEST),
@@ -3078,6 +3176,7 @@ QUERIES = {
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "token_rank": (q_token_rank, SQL_TOKEN_RANK),
     "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
+    "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
     "bloom_blocklist": (q_bloom_blocklist, SQL_BLOOM_BLOCKLIST),
     "top_tokens_bounded": (q_top_tokens_bounded, SQL_TOP_TOKENS),
     "pipeline_hygiene": (q_pipeline_hygiene, SQL_PIPELINE_HYGIENE),
