@@ -1969,6 +1969,32 @@ def q_distinct_tokens(sf_dir: str):
     return pa.table({"approx_distinct_tokens": pa.array([int(round(est))], pa.int64())})
 
 
+def q_distinct_tokens_exact(sf_dir: str):
+    """EXACT distinct-token count — the bit-checked sibling of the HLL
+    sketch (distinct_tokens_sketch): per-batch DISTINCT partials (one
+    deduped token set per block) → ONE narrow token groupby → group
+    count. Only per-block-unique tokens shuffle, never the corpus; the
+    driver sees one scalar."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks: set = set()
+        for t in b.column("text").to_pylist():
+            if t:
+                toks.update(t.split(" "))
+        return pa.table({"tok": pa.array(list(toks), pa.string())})
+
+    parts = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    n = parts.groupby("tok").count().count()
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+SQL_DISTINCT_TOKENS_EXACT = """
+SELECT count(DISTINCT t)::BIGINT AS n_distinct
+FROM (SELECT unnest(string_split(text, ' ')) AS t
+      FROM documents WHERE text IS NOT NULL AND text != '')
+"""
+
+
 def q_dedup_minhash(sf_dir: str):
     return dedup.lsh_candidate_pairs(_docs(sf_dir))
 
@@ -3195,6 +3221,9 @@ QUERIES = {
     # tests/test_rowsonly_validation.py and friends)
     "dedup_minhash": (q_dedup_minhash, None),
     "distinct_tokens_sketch": (q_distinct_tokens, None),
+    "distinct_tokens_exact": (
+        q_distinct_tokens_exact, SQL_DISTINCT_TOKENS_EXACT
+    ),
     "dedup_simhash": (q_dedup_simhash, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "knn_ivf": (q_knn_ivf, None),
