@@ -1440,6 +1440,18 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
+def q_repeated_substrings_bucketed(sf_dir: str):
+    """The >=10^8-dup-hash scale form: the dup-window table stays a
+    DATASET — only its Bloom bits broadcast; maybe-windows verify
+    exactly in a co-partitioned bucket groupby (no false negatives, so
+    result == the broadcast form; same oracle as repeated_substrings)."""
+    from ..stages import substring
+
+    return substring.repeated_substring_spans_bucketed(
+        _docs(sf_dir), min_len=50, text_col="text", id_col="doc_id"
+    )
+
+
 def q_substring_clean(sf_dir: str):
     """Lee et al.'s dedup ACTION: cut every corpus-repeated >= 50-char
     window span out of the text. Every doc comes back (text_clean =
@@ -3183,6 +3195,9 @@ QUERIES = {
     "dedup_paragraphs": (q_dedup_paragraphs, SQL_DEDUP_PARAGRAPHS),
     "repeated_substrings": (q_repeated_substrings, SQL_REPEATED_SUBSTRINGS),
     "substring_clean": (q_substring_clean, SQL_SUBSTRING_CLEAN),
+    "repeated_substrings_bucketed": (
+        q_repeated_substrings_bucketed, SQL_REPEATED_SUBSTRINGS
+    ),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "url_canon": (q_url_canon, SQL_URL_CANON),

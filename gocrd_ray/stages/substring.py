@@ -19,9 +19,12 @@ Scale shape (two linear passes, no suffix sort, no all-to-all of text):
    repetition, typically orders of magnitude below total windows).
 2. MARK: a second scan probes each window against the dup table and
    merges hit windows into maximal per-doc spans in numpy. The dup
-   table ships as one broadcast (ray.put) below ~10^8 entries; beyond
-   that, route it through a Bloom prefilter + co-partitioned verify
-   (the bloom.bloom_blocklist_filter_ds shape) — same contract.
+   table ships as one broadcast (ray.put) below ~10^8 entries
+   (repeated_substring_spans / repeated_substring_cut); beyond that,
+   repeated_substring_spans_bucketed keeps it a DATASET — only the
+   Bloom bits broadcast and maybe-windows verify exactly in a
+   co-partitioned bucket groupby (equality with the broadcast form is
+   pinned in tests).
 
 Exactness: the window key is a PAIR of independent 64-bit rolling
 hashes (distinct multiplier bases over the mod-2^64 ring). A false
@@ -351,3 +354,193 @@ def repeated_substring_cut(ds, *, min_len: int = 50,
         )
 
     return ds.map_batches(cut, batch_format="pyarrow")
+
+
+def _pair_bloom_set(h1: np.ndarray, h2: np.ndarray, m: int, k: int,
+                    bits: np.ndarray) -> None:
+    """Set Bloom bits for (h1, h2) window-hash pairs. The rolling
+    hashes are already uniform 64-bit values, so Kirsch–Mitzenmacher
+    double hashing runs directly on them (idx_i = h1 + i·(h2|1) mod m)
+    — no re-hash, all uint64 vector ops."""
+    step = h2 | np.uint64(1)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * step) % np.uint64(m)
+        np.bitwise_or.at(
+            bits, (idx >> np.uint64(3)).astype(np.int64),
+            (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
+        )
+
+
+def _pair_bloom_probe(h1: np.ndarray, h2: np.ndarray, m: int, k: int,
+                      bits: np.ndarray) -> np.ndarray:
+    step = h2 | np.uint64(1)
+    out = np.ones(len(h1), dtype=bool)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * step) % np.uint64(m)
+        bit = (
+            bits[(idx >> np.uint64(3)).astype(np.int64)]
+            >> (idx & np.uint64(7)).astype(np.uint8)
+        ) & 1
+        out &= bit.astype(bool)
+    return out
+
+
+def repeated_substring_spans_bucketed(ds, *, min_len: int = 50,
+                                      text_col: str = "text",
+                                      id_col: str = "doc_id",
+                                      n_buckets: int = 64,
+                                      fpr: float = 0.01):
+    """The >=10^8-dup-hash scale form of ``repeated_substring_spans``:
+    the dup-window table stays a DATASET — only its Bloom BITS
+    broadcast (~1.2 bytes/entry at fpr 1e-2, ≈13× smaller than the
+    (h1, h2, n) rows; 10^8 entries → ~120 MB of bits vs ~2.4 GB of
+    table). Exactness is preserved: the Bloom has no false negatives,
+    and every maybe-window is verified exactly against the dup table
+    in a co-partitioned bucket groupby before it can mark a span.
+
+    Shape: (1) pass 1 as usual (narrow hash partials → bucketed sum);
+    (2) the Bloom bits build distributed (one OR-mergeable partial per
+    dup block); (3) a second corpus scan emits (h1, h2, id, pos) ONLY
+    for windows the Bloom flags — true repeats + fpr·windows, never
+    the corpus; (4) maybe-rows and dup keys co-partition by h1 bucket
+    and a vectorized 128-bit searchsorted semi-join keeps true hits;
+    (5) ONE groupby(doc_id) merges hit positions into maximal spans.
+    Result == the broadcast form row-for-row (pinned in tests)."""
+    import ray
+
+    from .bloom import params_for
+
+    dup = duplicate_window_hashes(
+        ds, min_len=min_len, text_col=text_col, n_buckets=n_buckets
+    )
+
+    # distributed Bloom build over the dup-hash DATASET
+    n_expected = max(1, dup.count())
+    m, k = params_for(n_expected, fpr)
+
+    def dup_bits(b: pa.Table) -> pa.Table:
+        bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+        _pair_bloom_set(
+            b.column("h1").to_numpy(zero_copy_only=False).astype(np.uint64),
+            b.column("h2").to_numpy(zero_copy_only=False).astype(np.uint64),
+            m, k, bits,
+        )
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    for blk in dup.map_batches(dup_bits, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for raw in blk.column("bits").to_pylist():
+            bits |= np.frombuffer(raw, dtype=np.uint8)
+    bits_ref = ray.put(bits)
+
+    union_schema = pa.schema(
+        [
+            ("h1", pa.int64()), ("h2", pa.int64()),
+            (id_col, pa.int64()), ("pos", pa.int64()),
+            ("__is_dup", pa.int8()), ("__bucket", pa.int32()),
+        ]
+    )
+
+    def maybe_rows(b: pa.Table) -> pa.Table:
+        bl = ray.get(bits_ref)
+        texts = b.column(text_col).to_pylist()
+        ids = pc.cast(b.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        didx, pos, h1, h2 = _doc_window_hashes(texts, min_len)
+        hit = _pair_bloom_probe(h1, h2, m, k, bl)
+        h1, h2, didx, pos = h1[hit], h2[hit], didx[hit], pos[hit]
+        h1s = h1.astype(np.int64)
+        return pa.table(
+            {
+                "h1": pa.array(h1s, pa.int64()),
+                "h2": pa.array(h2.astype(np.int64), pa.int64()),
+                id_col: pa.array(ids[didx], pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "__is_dup": pa.array(np.zeros(len(h1s), np.int8)),
+                "__bucket": pa.array(
+                    (h1s % np.int64(n_buckets)).astype(np.int32), pa.int32()
+                ),
+            },
+            schema=union_schema,
+        )
+
+    def dup_rows(b: pa.Table) -> pa.Table:
+        h1s = b.column("h1").to_numpy(zero_copy_only=False)
+        n = len(h1s)
+        return pa.table(
+            {
+                "h1": b.column("h1"),
+                "h2": b.column("h2"),
+                id_col: pa.array(np.zeros(n, np.int64)),
+                "pos": pa.array(np.zeros(n, np.int64)),
+                "__is_dup": pa.array(np.ones(n, np.int8)),
+                "__bucket": pa.array(
+                    (h1s % np.int64(n_buckets)).astype(np.int32), pa.int32()
+                ),
+            },
+            schema=union_schema,
+        )
+
+    both = ds.map_batches(maybe_rows, batch_format="pyarrow").union(
+        dup.map_batches(dup_rows, batch_format="pyarrow")
+    )
+
+    hits_schema = pa.schema([(id_col, pa.int64()), ("pos", pa.int64())])
+
+    def verify(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "h1" not in g.schema.names:
+            return hits_schema.empty_table()
+        is_dup = pc.equal(g.column("__is_dup"), 1)
+        dups = g.filter(is_dup)
+        rows = g.filter(pc.invert(is_dup))
+        if dups.num_rows == 0 or rows.num_rows == 0:
+            return hits_schema.empty_table()
+        dk = _pair_keys(
+            dups.column("h1").to_numpy(zero_copy_only=False),
+            dups.column("h2").to_numpy(zero_copy_only=False),
+        )
+        dk.sort()
+        rk = _pair_keys(
+            rows.column("h1").to_numpy(zero_copy_only=False),
+            rows.column("h2").to_numpy(zero_copy_only=False),
+        )
+        lo = np.searchsorted(dk, rk)
+        lo_c = np.minimum(lo, len(dk) - 1)
+        hit = (lo < len(dk)) & (dk[lo_c] == rk)
+        return rows.filter(pa.array(hit)).select([id_col, "pos"]).cast(
+            hits_schema
+        )
+
+    hits = both.groupby("__bucket").map_groups(verify, batch_format="pyarrow")
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("span_start", pa.int64()),
+            pa.field("span_end", pa.int64()),
+        ]
+    )
+
+    def merge_spans(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or id_col not in g.schema.names:
+            return out_schema.empty_table()
+        did = g.column(id_col).to_numpy(zero_copy_only=False)[0]
+        p = np.sort(g.column("pos").to_numpy(zero_copy_only=False))
+        brk = np.flatnonzero(np.diff(p) > min_len) + 1
+        seg_s = np.r_[0, brk]
+        seg_e = np.r_[brk, len(p)]
+        return pa.table(
+            {
+                id_col: pa.array(np.full(len(seg_s), did, np.int64)),
+                "span_start": pa.array(p[seg_s], pa.int64()),
+                "span_end": pa.array(p[seg_e - 1] + min_len, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return hits.groupby(id_col).map_groups(
+        merge_spans, batch_format="pyarrow"
+    )

@@ -137,3 +137,34 @@ def test_repeated_substring_cut_matches_span_splice(ray_session):
     assert got[2] == texts[2]          # clean doc byte-identical
     assert got[3] == ""                # fully repeated doc emptied
     assert boiler not in got[0] and boiler not in got[1]
+
+
+def test_bucketed_spans_equal_broadcast_form(ray_session):
+    import ray.data
+
+    boiler = "SHARED BOILERPLATE SEGMENT x" * 3
+    texts = {
+        i: f"doc {i} intro {'unique filler %d ' % i * 5}"
+           + (boiler if i % 3 == 0 else "")
+           + f" tail {i}"
+        for i in range(40)
+    }
+    texts[40] = ""  # empty doc
+    L = 50
+    tbl = pa.table(
+        {"doc_id": list(texts), "text": [texts[k] for k in texts]}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(7)
+
+    def rows(out):
+        return sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in out.take_all()
+        )
+
+    a = rows(substring.repeated_substring_spans(ds, min_len=L))
+    b = rows(substring.repeated_substring_spans_bucketed(
+        ds, min_len=L, n_buckets=5, fpr=0.05
+    ))
+    assert a == b
+    assert a  # the boilerplate docs must actually produce spans
