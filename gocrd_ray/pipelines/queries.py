@@ -662,7 +662,12 @@ def q_dedup_incremental(sf_dir: str):
         )
         return _with_dig(pa.concat_tables([odd, recrawl]), "__dig")
 
-    old_digests = docs.map_batches(old_snap, batch_format="pyarrow")
+    # materialize: bloom_blocklist_filter_ds consumes the blocked side
+    # three times (count, bits build, verify union) — without this the
+    # digest scan re-executes per consumer (lazy datasets re-run)
+    old_digests = docs.map_batches(
+        old_snap, batch_format="pyarrow"
+    ).materialize()
     new_docs = docs.map_batches(new_snap, batch_format="pyarrow")
     kept = bloom.bloom_blocklist_filter_ds(
         new_docs, old_digests, key_col="__dig", blocked_col="dig"
@@ -696,7 +701,12 @@ def q_dedup_incremental_fuzzy(sf_dir: str):
             {"key": pa.array([str(v) for v in odd], pa.string())}
         )
 
-    losers = pairs.map_batches(cross_losers, batch_format="pyarrow")
+    # materialize: the ~6s verified-pairs chain would otherwise re-run
+    # for each of the bloom helper's three consumers; the loser set is
+    # tiny (bounded by near-dup count)
+    losers = pairs.map_batches(
+        cross_losers, batch_format="pyarrow"
+    ).materialize()
 
     def new_snap(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
@@ -1090,7 +1100,11 @@ def q_dedup_fuzzy_corpus(sf_dir: str):
             {"key": pc.cast(t.column("doc_id"), pa.string())}
         )
 
-    losers = labels.map_batches(losers_only, batch_format="pyarrow")
+    # materialize: tiny (cluster losers only); avoids re-running the
+    # label pipeline for each of the bloom helper's three consumers
+    losers = labels.map_batches(
+        losers_only, batch_format="pyarrow"
+    ).materialize()
 
     def with_key(b: pa.Table) -> pa.Table:
         b = b.select(["doc_id", "text"])
