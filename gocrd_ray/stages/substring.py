@@ -410,9 +410,13 @@ def repeated_substring_spans_bucketed(ds, *, min_len: int = 50,
 
     from .bloom import params_for
 
+    # materialize: the dup table is consumed three times below (count,
+    # Bloom bits build, verify union) and a lazy dataset re-executes
+    # pass 1 once per consumer; it lives in the object store (spills
+    # beyond memory), never on one worker's heap
     dup = duplicate_window_hashes(
         ds, min_len=min_len, text_col=text_col, n_buckets=n_buckets
-    )
+    ).materialize()
 
     # distributed Bloom build over the dup-hash DATASET
     n_expected = max(1, dup.count())
