@@ -76,6 +76,8 @@ QUERY_NAMES = [
     "quality_gate",
     "chunk_stride",
     "substring_clean",
+    "repeated_substrings_bucketed",
+    "distinct_tokens_exact",
     "knn_ivf_exact",
     "semantic_dedup_grid",
 ]
