@@ -261,3 +261,41 @@ def test_chunk_stride_overlap_and_edges(ray_session):
     assert d1 == [(1, 0, "äöü" * 10)]
     # empty and null texts produce nothing
     assert not [r for r in rows if r[0] in (2, 3)]
+
+
+def test_chunk_stride_reconstructs_text(ray_session):
+    """Property: chunk0 + chunk1[size-stride:] + chunk2[size-stride:]...
+    reproduces the original text exactly (overlap = size - stride), for
+    random lengths incl. boundary cases around multiples of stride."""
+    import numpy as np
+    import ray.data
+
+    from gocrd_ray.stages import text_stats
+
+    rng = np.random.default_rng(3)
+    size, stride = 120, 90
+    texts = []
+    for i in range(200):
+        # hit exact-boundary lengths often: 0/±1 around k*stride, k*size
+        base = int(rng.choice([0, 1, 89, 90, 91, 119, 120, 121,
+                               179, 180, 181, 300, 5000]))
+        texts.append(
+            "".join(chr(0x3b1 + int(c)) for c in rng.integers(0, 24, base))
+        )
+    tbl = pa.table({"doc_id": list(range(200)), "text": texts})
+    out = text_stats.chunk_stride(
+        ray.data.from_arrow(tbl).repartition(5), size=size, stride=stride
+    ).take_all()
+    chunks: dict = {}
+    for r in out:
+        chunks.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"]
+    for i, tx in enumerate(texts):
+        got = chunks.get(i, {})
+        if not tx:
+            assert got == {}
+            continue
+        assert sorted(got) == list(range(len(got)))  # contiguous ids
+        rebuilt = got[0]
+        for ci in range(1, len(got)):
+            rebuilt += got[ci][size - stride:] if len(got[ci]) > size - stride else ""
+        assert rebuilt == tx, i
