@@ -632,6 +632,10 @@ def q_dedup_incremental(sf_dir: str):
     from ..stages import bloom
 
     def _with_dig(b: pa.Table, out: str) -> pa.Table:
+        # null text cannot match any digest: SQL's `md5(NULL) NOT IN`
+        # is NULL -> row dropped; mirror that (and never crash a batch
+        # on one malformed row — poison-row principle)
+        b = b.filter(pc.is_valid(b.column("text")))
         digs = pa.array(
             [
                 hashlib.md5(t.encode("utf-8")).hexdigest()

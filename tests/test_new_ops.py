@@ -299,3 +299,29 @@ def test_chunk_stride_reconstructs_text(ray_session):
         for ci in range(1, len(got)):
             rebuilt += got[ci][size - stride:] if len(got[ci]) > size - stride else ""
         assert rebuilt == tx, i
+
+
+def test_dedup_incremental_tolerates_null_text(ray_session, tmp_path):
+    """A null text row must neither crash a batch nor survive (SQL's
+    md5(NULL) NOT IN (...) is NULL -> dropped)."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    tbl = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": ["same", "same", None, "only-new", None, "only-old"],
+            "lang": ["en"] * 6,
+            "n_chars": [4, 4, None, 8, None, 8],
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "documents.parquet")
+    out = e.queries()["dedup_incremental"](str(sf)).take_all()
+    kept = sorted(r["doc_id"] for r in out)
+    # odd docs: 1 ("same" = archived doc 0 -> dropped), 3 (kept),
+    # 5 ("only-old" text but doc 5 is NEW; not in archive -> kept);
+    # null-text docs never crash and never survive
+    assert kept == [3, 5]
