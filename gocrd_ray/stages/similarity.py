@@ -416,7 +416,12 @@ def semantic_dedup(
     the same within-cluster dedup rule, but the partition and order
     are ANSI-SQL-expressible, so the whole SemDeDup plumbing gets a
     bit-checked DuckDB mirror (q_semantic_dedup_grid). The k-means
-    form stays the quality path (grid cells don't adapt to density).
+    form stays the quality AND scale path: grid cells don't adapt to
+    density, and a fixed ``grid_bits`` means 2^grid_bits clusters —
+    at corpus scale ``grid_bits`` would have to grow with n to keep
+    the per-cluster O(m²) bounded, exactly what k-means'
+    ``n_clusters ∝ corpus size`` already does. The grid form is the
+    verification harness, not the production quantizer.
     """
     import ray
 
