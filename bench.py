@@ -74,6 +74,7 @@ QUERY_NAMES = [
     "dedup_incremental",
     "dedup_incremental_fuzzy",
     "quality_gate",
+    "pipeline_pretrain",
     "chunk_stride",
     "substring_clean",
     "repeated_substrings_bucketed",

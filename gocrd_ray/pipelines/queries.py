@@ -3104,6 +3104,142 @@ FROM j
 """
 
 
+def q_pipeline_pretrain(sf_dir: str):
+    """The PRETRAINING-CORPUS chain composed end to end in ONE
+    SQL-checked query: Gopher quality gate (full rule bundle) → exact
+    text dedup (keep min doc_id per md5, one bucketed shuffle carrying
+    each winner once) → leakage-safe train split → overlapping stride
+    chunking of the surviving text. What a user actually feeds the
+    tokenizer — every stage the scale-shaped operator."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from ..stages import quality
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def gate(b: pa.Table) -> pa.Table:
+        lb = pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "text": pa.array(
+                    _linebreak_py(b.column("text").to_pylist()), pa.string()
+                ),
+            }
+        )
+        stats = quality.gopher_rules_batch(lb, min_words=50)
+        return lb.filter(stats.column("keep"))
+
+    def add_dig_bucket(b: pa.Table) -> pa.Table:
+        digs = [
+            _hl.md5(t.encode("utf-8")).hexdigest()
+            for t in b.column("text").to_pylist()
+        ]
+        bucket = (
+            np.frombuffer(
+                bytes.fromhex("".join(d[:8] for d in digs)), dtype=">u4"
+            ).astype(np.int64) % 64
+            if digs else np.zeros(0, np.int64)
+        )
+        b = b.append_column("__dig", pa.array(digs, pa.string()))
+        return b.append_column(
+            "__bucket", pa.array(bucket.astype(np.int32), pa.int32())
+        )
+
+    def dedup_bucket(g: pa.Table) -> pa.Table:
+        digs = np.asarray(g.column("__dig").to_pylist(), dtype=object)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, digs))
+        first = np.r_[True, digs[order][1:] != digs[order][:-1]]
+        return g.take(pa.array(order[first])).drop_columns(
+            ["__dig", "__bucket"]
+        )
+
+    def keep_train(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        host = pc.utf8_lpad(
+            pc.cast(pa.array(ids % 50), pa.string()), 2, "0"
+        )
+        urls = [
+            f"https://h{h}.example.com/doc/{i}"
+            for h, i in zip(host.to_pylist(), ids)
+        ]
+        keep = pa.array(
+            [
+                _hl.md5(u.encode("utf-8")).hexdigest()[:8] < "e6666666"
+                for u in urls
+            ]
+        )
+        return b.filter(keep)
+
+    gated = docs.map_batches(gate, batch_format="pyarrow")
+    pre = gated.map_batches(add_dig_bucket, batch_format="pyarrow")
+    deduped = pre.groupby("__bucket").map_groups(
+        dedup_bucket, batch_format="pyarrow"
+    )
+    train = deduped.map_batches(keep_train, batch_format="pyarrow")
+    return text_stats.chunk_stride(train, size=200, stride=150)
+
+
+SQL_PIPELINE_PRETRAIN = f"""
+WITH t AS (
+  SELECT doc_id, {LINEBREAK_SQL.format(col="COALESCE(text, '')")} AS t2
+  FROM documents
+), words AS (
+  SELECT doc_id, unnest(string_split_regex(t2, '[ \n]')) AS w FROM t
+), wstats AS (
+  SELECT doc_id, count(*) AS n_words, sum(len(w)) AS sum_len,
+         count(*) FILTER (regexp_matches(w, '[a-zA-Z]')) AS n_alpha,
+         count(DISTINCT w) FILTER (w IN {STOPWORDS_SQL}) AS n_stop
+  FROM words GROUP BY doc_id
+), lns AS (
+  SELECT doc_id, unnest(string_split(t2, chr(10))) AS x FROM t
+), lstats AS (
+  SELECT doc_id, count(*) AS n_lines,
+         count(*) FILTER (x LIKE '- %' OR x LIKE '* %' OR x LIKE '•%')
+           AS n_bullet,
+         count(*) FILTER (x LIKE '%...' OR x LIKE '%…') AS n_ell_lines
+  FROM lns GROUP BY doc_id
+), syms AS (
+  SELECT doc_id,
+         (len(t2) - len(replace(t2, '#', '')))
+         + (len(t2) - len(replace(t2, '...', ''))) / 3
+         + (len(t2) - len(replace(t2, '…', ''))) AS n_symbols
+  FROM t
+), kept AS (
+  SELECT t.doc_id, t.t2
+  FROM t JOIN wstats w USING (doc_id) JOIN lstats USING (doc_id)
+       JOIN syms USING (doc_id)
+  WHERE (n_words >= 50 AND n_words <= 100000)
+    AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+    AND (10 * n_symbols <= n_words)
+    AND (10 * n_bullet <= 9 * n_lines)
+    AND (10 * n_ell_lines <= 3 * n_lines)
+    AND (5 * n_alpha >= 4 * n_words)
+    AND (n_stop >= 2)
+), deduped AS (
+  SELECT doc_id, t2 FROM (
+    SELECT doc_id, t2,
+           row_number() OVER (PARTITION BY md5(t2) ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+), train AS (
+  SELECT doc_id, t2 FROM deduped
+  WHERE substr(md5({URL_SQL}), 1, 8) < 'e6666666'
+), c AS (
+  SELECT doc_id, t2,
+         unnest(range(CAST(ceil(length(t2) / 150.0) AS BIGINT))) AS i
+  FROM train
+)
+SELECT doc_id, i::BIGINT AS chunk_id,
+       substr(t2, (i * 150 + 1)::INTEGER, 200) AS chunk_text
+FROM c
+"""
+
+
 def q_c4_clean(sf_dir: str):
     """C4-style line filtering (Raffel et al. 2020 §2.2): keep lines
     ending in terminal punctuation with ≥5 words, rebuild the document.
@@ -3248,6 +3384,7 @@ QUERIES = {
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
+    "pipeline_pretrain": (q_pipeline_pretrain, SQL_PIPELINE_PRETRAIN),
     "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
     # rows-only (non-SQL-expressible: probabilistic sketches / LSH
     # signatures over non-SQL hashes; each pinned behaviorally in
