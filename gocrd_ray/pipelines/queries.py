@@ -737,7 +737,8 @@ WITH new_snap AS (
 )
 SELECT doc_id, text FROM new_snap
 WHERE md5(text) NOT IN
-      (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+      (SELECT md5(text) FROM documents
+       WHERE doc_id % 2 = 0 AND text IS NOT NULL)
 """
 
 
@@ -3299,7 +3300,84 @@ FROM marked GROUP BY doc_id
 """
 
 
+# Registry order is deliberate: the driver samples the FIRST 50 entries
+# per round for its DuckDB side-by-side, so the window leads with
+#   (a) the 25 queries that had never received a driver oracle row
+#       through round 3 (the LLM hygiene/quality suite and the composed
+#       pipelines),
+#   (b) the 3 whose exact SQL was added after their last driver check
+#       (langid / fingerprint / neardup_cosine — r01 rows-only),
+#   (c) the 13 last checked in r01/r02 (rotated out of the r03 window),
+#   (d) 9 r03-green queries whose code paths change in round 4 (Bloom
+#       bit-build sharding, candidate-prefilter bounding, substring
+#       dedup) and therefore need re-verification.
+# Positions 51+ hold only queries green in CORRECTNESS_r03.json whose
+# code is untouched this round; the per-query evidence mapping is
+# written out in BASELINE.md.
 QUERIES = {
+    # --- (a) never driver-checked through round 3 -------------------
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
+    "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
+    "mix_sample": (q_mix_sample, SQL_MIX_SAMPLE),
+    "semantic_dedup_grid": (q_semantic_dedup_grid, SQL_SEMANTIC_DEDUP_GRID),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
+    "token_rank": (q_token_rank, SQL_TOKEN_RANK),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "bloom_blocklist": (q_bloom_blocklist, SQL_BLOOM_BLOCKLIST),
+    "top_tokens_bounded": (q_top_tokens_bounded, SQL_TOP_TOKENS),
+    "pipeline_hygiene": (q_pipeline_hygiene, SQL_PIPELINE_HYGIENE),
+    "pipeline_pack_train": (q_pipeline_pack_train, SQL_PIPELINE_PACK_TRAIN),
+    "pipeline_pretrain": (q_pipeline_pretrain, SQL_PIPELINE_PRETRAIN),
+    "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
+    "repetition_stats": (q_repetition, SQL_REPETITION),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "host_cap": (q_host_cap, SQL_HOST_CAP),
+    "chunk_stride": (q_chunk_stride, SQL_CHUNK_STRIDE),
+    "distinct_tokens_exact": (
+        q_distinct_tokens_exact, SQL_DISTINCT_TOKENS_EXACT
+    ),
+    "knn_ivf_exact": (q_knn_ivf_exact, SQL_KNN_COSINE),
+    "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
+    "semantic_dedup": (q_semantic_dedup, None),  # rows-only by design
+    # --- (b) SQL added after their last (r01 rows-only) check -------
+    "langid": (q_langid, SQL_LANGID),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "neardup_cosine": (q_neardup_cosine, SQL_NEARDUP_COSINE),
+    # --- (c) last driver-checked in r01/r02 -------------------------
+    "url_canon": (q_url_canon, SQL_URL_CANON),
+    "events_preceding": (q_events_preceding, SQL_EVENTS_PRECEDING),
+    "image_meta": (q_image_meta, SQL_IMAGE_META),
+    "audio_meta": (q_audio_meta, SQL_AUDIO_META),
+    "common_tokens": (q_common_tokens, SQL_COMMON_TOKENS),
+    "pdf_text": (q_pdf_text, SQL_PDF_TEXT),
+    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
+    "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
+    # rows-only sketches (non-SQL hashes; each pinned behaviorally in
+    # tests/test_rowsonly_validation.py with an exact-checked sibling)
+    "dedup_minhash": (q_dedup_minhash, None),
+    "distinct_tokens_sketch": (q_distinct_tokens, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "simhash_pairs": (q_simhash_pairs, None),
+    "knn_ivf": (q_knn_ivf, None),
+    # --- (d) r03-green but code changes in round 4 ------------------
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
+    "dedup_verified": (q_dedup_verified, SQL_DEDUP_VERIFIED),
+    "dedup_fuzzy_corpus": (q_dedup_fuzzy_corpus, SQL_DEDUP_FUZZY_CORPUS),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "dedup_incremental_fuzzy": (
+        q_dedup_incremental_fuzzy, SQL_DEDUP_INCREMENTAL_FUZZY
+    ),
+    "repeated_substrings": (q_repeated_substrings, SQL_REPEATED_SUBSTRINGS),
+    "repeated_substrings_bucketed": (
+        q_repeated_substrings_bucketed, SQL_REPEATED_SUBSTRINGS
+    ),
+    "substring_clean": (q_substring_clean, SQL_SUBSTRING_CLEAN),
+    # ------- position 51+ : r03-green, code untouched this round ----
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
     "extract_links": (q_extract_links, SQL_EXTRACT_LINKS),
@@ -3319,19 +3397,11 @@ QUERIES = {
     "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
     "top_hosts": (q_top_hosts, SQL_TOP_HOSTS),
     "manifest_find": (q_manifest_find, SQL_MANIFEST_FIND),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
-    "dedup_incremental_fuzzy": (
-        q_dedup_incremental_fuzzy, SQL_DEDUP_INCREMENTAL_FUZZY
-    ),
-    "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
     "dedup_url": (q_dedup_url, SQL_DEDUP_URL),
     "dedup_url_latest": (q_dedup_url_latest, SQL_DEDUP_URL_LATEST),
     "lang_counts": (q_lang_counts, SQL_LANG_COUNTS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "dedup_verified": (q_dedup_verified, SQL_DEDUP_VERIFIED),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "dedup_fuzzy_corpus": (q_dedup_fuzzy_corpus, SQL_DEDUP_FUZZY_CORPUS),
     "orders_enriched": (q_orders_enriched, SQL_ORDERS_ENRICHED),
     "orders_hash_join": (q_orders_hash_join, SQL_ORDERS_HASH_JOIN),
     "orders_native_join": (q_orders_native_join, SQL_ORDERS_NATIVE_JOIN),
@@ -3347,57 +3417,6 @@ QUERIES = {
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "top_tokens_per_lang": (q_top_tokens_per_lang, SQL_TOP_TOKENS_PER_LANG),
     "dedup_paragraphs": (q_dedup_paragraphs, SQL_DEDUP_PARAGRAPHS),
-    "repeated_substrings": (q_repeated_substrings, SQL_REPEATED_SUBSTRINGS),
-    "substring_clean": (q_substring_clean, SQL_SUBSTRING_CLEAN),
-    "repeated_substrings_bucketed": (
-        q_repeated_substrings_bucketed, SQL_REPEATED_SUBSTRINGS
-    ),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "url_canon": (q_url_canon, SQL_URL_CANON),
-    "events_preceding": (q_events_preceding, SQL_EVENTS_PRECEDING),
-    "image_meta": (q_image_meta, SQL_IMAGE_META),
-    "audio_meta": (q_audio_meta, SQL_AUDIO_META),
-    "common_tokens": (q_common_tokens, SQL_COMMON_TOKENS),
-    "pdf_text": (q_pdf_text, SQL_PDF_TEXT),
-    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
-    "chunk_stride": (q_chunk_stride, SQL_CHUNK_STRIDE),
-    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
-    "pipeline_pack_train": (q_pipeline_pack_train, SQL_PIPELINE_PACK_TRAIN),
-    "host_cap": (q_host_cap, SQL_HOST_CAP),
-    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    "repetition_stats": (q_repetition, SQL_REPETITION),
-    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
-    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
-    "token_rank": (q_token_rank, SQL_TOKEN_RANK),
-    "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
-    "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
-    "bloom_blocklist": (q_bloom_blocklist, SQL_BLOOM_BLOCKLIST),
-    "top_tokens_bounded": (q_top_tokens_bounded, SQL_TOP_TOKENS),
-    "pipeline_hygiene": (q_pipeline_hygiene, SQL_PIPELINE_HYGIENE),
-    "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
-    "langid": (q_langid, SQL_LANGID),
-    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
-    "neardup_cosine": (q_neardup_cosine, SQL_NEARDUP_COSINE),
-    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
-    "mix_sample": (q_mix_sample, SQL_MIX_SAMPLE),
-    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
-    "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
-    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
-    "pipeline_pretrain": (q_pipeline_pretrain, SQL_PIPELINE_PRETRAIN),
-    "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
-    # rows-only (non-SQL-expressible: probabilistic sketches / LSH
-    # signatures over non-SQL hashes; each pinned behaviorally in
-    # tests/test_rowsonly_validation.py and friends)
-    "dedup_minhash": (q_dedup_minhash, None),
-    "distinct_tokens_sketch": (q_distinct_tokens, None),
-    "distinct_tokens_exact": (
-        q_distinct_tokens_exact, SQL_DISTINCT_TOKENS_EXACT
-    ),
-    "dedup_simhash": (q_dedup_simhash, None),
-    "simhash_pairs": (q_simhash_pairs, None),
-    "knn_ivf": (q_knn_ivf, None),
-    "knn_ivf_exact": (q_knn_ivf_exact, SQL_KNN_COSINE),
-    "semantic_dedup": (q_semantic_dedup, None),
-    "semantic_dedup_grid": (q_semantic_dedup_grid, SQL_SEMANTIC_DEDUP_GRID),
 }

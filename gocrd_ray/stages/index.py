@@ -12,8 +12,10 @@ Scale shapes (10^12 docs):
   frequency exceeds the cap — the standard IR stopword guard that also
   bounds the largest posting list a single task must hold (a web-scale
   deployment shards hot postings further; the cap is the honest
-  contract here and dropped tokens are reported in the output of
-  ``dropped_tokens``-style audits, not silently).
+  contract here — tokens over the cap are simply excluded from the
+  index, exactly as the SQL mirror's ``HAVING count(*) <= max_df``
+  excludes them; count them separately with ``tfidf_topterms``'s df
+  aggregate if an audit is needed).
 * ``tfidf_topterms`` computes document frequencies with a narrow
   ``(token, n)`` aggregate, broadcasts the vocabulary-sized df map
   once via ``ray.put``, and scores each batch in a streaming actor

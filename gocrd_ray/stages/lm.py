@@ -140,6 +140,13 @@ def train_bigram_lm(ds, *, text_col: str = "text", id_col: str = "doc_id",
             big_tok.append(r["k"])
             big_n.append(r["sum(n)"])
     v = len(uni_tok)
+    if v == 0:
+        raise ValueError(
+            "train_bigram_lm: the hash-sampled training slice produced an "
+            "empty vocabulary (no tokens matched sample_hex="
+            f"{sample_hex!r}). Widen sample_hex or feed a non-empty corpus; "
+            "scoring with V=0 would be a log(0) domain error."
+        )
     if min_count > 1:
         uk = [(t, c) for t, c in zip(uni_tok, uni_n) if c >= min_count]
         bk = [(t, c) for t, c in zip(big_tok, big_n) if c >= min_count]

@@ -370,6 +370,9 @@ def _fit_centroids(ds, n_buckets: int, seed: int) -> np.ndarray:
     smat = _normalize(
         np.array([r["embedding"] for r in sample], dtype=np.float64)
     )
+    # corpora smaller than n_buckets degrade to one centroid per row
+    # instead of crashing rng.choice(replace=False)
+    n_buckets = min(n_buckets, len(smat))
     centroids = smat[rng.choice(len(smat), size=n_buckets, replace=False)]
     for _ in range(5):
         assign_s = (smat @ centroids.T).argmax(axis=1)
