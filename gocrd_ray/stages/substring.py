@@ -357,14 +357,20 @@ def repeated_substring_cut(ds, *, min_len: int = 50,
 
 
 def _pair_bloom_set(h1: np.ndarray, h2: np.ndarray, m: int, k: int,
-                    bits: np.ndarray) -> None:
+                    bits: np.ndarray, shards: int = 1) -> None:
     """Set Bloom bits for (h1, h2) window-hash pairs. The rolling
     hashes are already uniform 64-bit values, so Kirsch–Mitzenmacher
     double hashing runs directly on them (idx_i = h1 + i·(h2|1) mod m)
-    — no re-hash, all uint64 vector ops."""
+    — no re-hash, all uint64 vector ops. ``shards>1`` selects the
+    partitioned layout (h1's top bits pick an m/shards-bit slice, all
+    probes inside it) matching ``bloom.shard_partials_hashed``."""
+    from .bloom import _shard_of
+
     step = h2 | np.uint64(1)
+    ms = np.uint64(m // shards)
+    base = _shard_of(h1, shards) * ms if shards > 1 else np.uint64(0)
     for i in range(k):
-        idx = (h1 + np.uint64(i) * step) % np.uint64(m)
+        idx = base + (h1 + np.uint64(i) * step) % ms
         np.bitwise_or.at(
             bits, (idx >> np.uint64(3)).astype(np.int64),
             (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
@@ -372,11 +378,15 @@ def _pair_bloom_set(h1: np.ndarray, h2: np.ndarray, m: int, k: int,
 
 
 def _pair_bloom_probe(h1: np.ndarray, h2: np.ndarray, m: int, k: int,
-                      bits: np.ndarray) -> np.ndarray:
+                      bits: np.ndarray, shards: int = 1) -> np.ndarray:
+    from .bloom import _shard_of
+
     step = h2 | np.uint64(1)
+    ms = np.uint64(m // shards)
+    base = _shard_of(h1, shards) * ms if shards > 1 else np.uint64(0)
     out = np.ones(len(h1), dtype=bool)
     for i in range(k):
-        idx = (h1 + np.uint64(i) * step) % np.uint64(m)
+        idx = base + (h1 + np.uint64(i) * step) % ms
         bit = (
             bits[(idx >> np.uint64(3)).astype(np.int64)]
             >> (idx & np.uint64(7)).astype(np.uint8)
@@ -399,8 +409,10 @@ def repeated_substring_spans_bucketed(ds, *, min_len: int = 50,
     in a co-partitioned bucket groupby before it can mark a span.
 
     Shape: (1) pass 1 as usual (narrow hash partials → bucketed sum);
-    (2) the Bloom bits build distributed (one OR-mergeable partial per
-    dup block); (3) a second corpus scan emits (h1, h2, id, pos) ONLY
+    (2) the Bloom bits build SHARDED (one groupby(shard) over narrow
+    hash rows; each task allocates only m/n_shards bits, the driver
+    pastes exactly n_shards slices); (3) a second corpus scan emits
+    (h1, h2, id, pos) ONLY
     for windows the Bloom flags — true repeats + fpr·windows, never
     the corpus; (4) maybe-rows and dup keys co-partition by h1 bucket
     and a vectorized 128-bit searchsorted semi-join keeps true hits;
@@ -408,7 +420,7 @@ def repeated_substring_spans_bucketed(ds, *, min_len: int = 50,
     Result == the broadcast form row-for-row (pinned in tests)."""
     import ray
 
-    from .bloom import params_for
+    from .bloom import paste_partials, shard_partials_hashed
 
     # materialize: the dup table is consumed three times below (count,
     # Bloom bits build, verify union) and a lazy dataset re-executes
@@ -418,25 +430,15 @@ def repeated_substring_spans_bucketed(ds, *, min_len: int = 50,
         ds, min_len=min_len, text_col=text_col, n_buckets=n_buckets
     ).materialize()
 
-    # distributed Bloom build over the dup-hash DATASET
+    # SHARDED distributed Bloom build over the dup-hash DATASET: no
+    # task allocates the full bit array, the driver pastes n_shards
+    # slices (m/8 bytes total) instead of OR-merging one full-size
+    # partial per dup block
     n_expected = max(1, dup.count())
-    m, k = params_for(n_expected, fpr)
-
-    def dup_bits(b: pa.Table) -> pa.Table:
-        bits = np.zeros((m + 7) // 8, dtype=np.uint8)
-        _pair_bloom_set(
-            b.column("h1").to_numpy(zero_copy_only=False).astype(np.uint64),
-            b.column("h2").to_numpy(zero_copy_only=False).astype(np.uint64),
-            m, k, bits,
-        )
-        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
-
-    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
-    for blk in dup.map_batches(dup_bits, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for raw in blk.column("bits").to_pylist():
-            bits |= np.frombuffer(raw, dtype=np.uint8)
+    partials, (m, k, n_shards) = shard_partials_hashed(
+        dup, n_expected=n_expected, fpr=fpr
+    )
+    bits = paste_partials(partials, m=m, n_shards=n_shards)
     bits_ref = ray.put(bits)
 
     union_schema = pa.schema(
@@ -454,7 +456,7 @@ def repeated_substring_spans_bucketed(ds, *, min_len: int = 50,
             zero_copy_only=False
         )
         didx, pos, h1, h2 = _doc_window_hashes(texts, min_len)
-        hit = _pair_bloom_probe(h1, h2, m, k, bl)
+        hit = _pair_bloom_probe(h1, h2, m, k, bl, shards=n_shards)
         h1, h2, didx, pos = h1[hit], h2[hit], didx[hit], pos[hit]
         h1s = h1.astype(np.int64)
         return pa.table(

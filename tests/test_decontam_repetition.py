@@ -311,16 +311,24 @@ def test_bloom_distributed_build_merge_invariant(ray_session):
     import numpy as np
     import ray.data
 
-    from gocrd_ray.stages.bloom import Bloom, build_from_dataset, params_for
+    from gocrd_ray.stages.bloom import Bloom, build_from_dataset
 
     keys = [f"k{i}" for i in range(3000)]
-    m, k = params_for(len(keys), fpr=0.01)
-    ref = Bloom(m, k)
-    ref.add(np.asarray(keys, dtype=object))
+    arr = np.asarray(keys, dtype=object)
     for blocks in (1, 13):
         ds = ray.data.from_items([{"key": s} for s in keys]).repartition(blocks)
         built = build_from_dataset(ds, key_col="key", n_expected=len(keys))
+        # bit-identical to a driver-side build with the same sharded
+        # layout, regardless of input block count
+        ref = Bloom(built.m, built.k, shards=built.shards)
+        ref.add(arr)
         assert (built.bits == ref.bits).all(), blocks
+        # sharded layout keeps the Bloom contract: no false negatives,
+        # fpr near target
+        assert built.contains(arr).all()
+        fresh = np.asarray([f"fresh{i}.net" for i in range(20000)],
+                           dtype=object)
+        assert built.contains(fresh).mean() < 0.03
 
 
 def test_top_k_bounded_tiny_cap_equals_exact_or_raises(ray_session):
