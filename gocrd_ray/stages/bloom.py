@@ -36,12 +36,31 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _splitmix64(x: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (Steele et al. 2014, public
+    domain) — uniform 64-bit mix for integer keys; numpy uint64
+    arithmetic wraps, which is exactly the mod-2^64 the mix needs."""
+    x = x + np.uint64(seed)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def _hash2(keys) -> tuple[np.ndarray, np.ndarray]:
     """Two INDEPENDENT 64-bit hash streams for double hashing
     (Kirsch–Mitzenmacher: h1 + i·h2 is as good as k independent
     hashes — but only if h2 is not a function of h1, else all k
     probes collide whenever h1 does and the fpr sizing formula no
-    longer holds). Independence comes from a second SipHash key."""
+    longer holds). Independence comes from a second SipHash key for
+    string keys, a second splitmix seed for integer keys (the integer
+    fast path skips the object-array coercion that would push numeric
+    ids through pandas' slow per-element hasher)."""
+    arr = np.asarray(keys)
+    if arr.dtype.kind in "iu":
+        v = arr.astype(np.uint64)
+        h1 = _splitmix64(v, 0x9E3779B97F4A7C15)
+        h2 = _splitmix64(v, 0xD1B54A32D192ED03) | np.uint64(1)
+        return h1, h2
     import pandas as pd
 
     arr = np.asarray(keys, dtype=object)

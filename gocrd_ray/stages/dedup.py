@@ -1038,6 +1038,55 @@ def attach_pair_lookup(pairs_ds, lookup_ds, *, id_col: str, value_col: str,
     )
 
 
+def bloom_id_prefilter(ds, cand, *, id_col: str, fpr: float = 1e-3,
+                       n_expected: int | None = None):
+    """Keep only rows of ``ds`` whose ``id_col`` PROBABLY appears as
+    id_a/id_b in the candidate-pair dataset ``cand`` — the bounded
+    replacement for the round-3 driver-set prefilter (r3 verdict #2):
+    no ``set()`` over candidate ids ever touches the driver.
+
+    The Bloom bits are built DISTRIBUTED from the candidate ids (the
+    sharded ``build_from_dataset``: narrow (shard, h1, h2) groupby,
+    per-task allocation bounded by m/n_shards, driver pastes n_shards
+    slices) and broadcast once — ~1.8 bytes/id at fpr 1e-3 vs ~30+ GB
+    of driver heap for a Python set of 10^9 ids. No false negatives,
+    so downstream output is EXACT: a false positive only lets one
+    unreferenced lookup row ride the attach shuffle, where it matches
+    no pair and is dropped — cost fpr x |ds| extra narrow rows, never
+    a wrong answer.
+    """
+    import ray
+
+    from .bloom import Bloom, build_from_dataset
+
+    def pair_ids(b: pa.Table) -> pa.Table:
+        a = np.concatenate([
+            pc.cast(b.column("id_a"), pa.int64()).to_numpy(
+                zero_copy_only=False),
+            pc.cast(b.column("id_b"), pa.int64()).to_numpy(
+                zero_copy_only=False),
+        ])
+        return pa.table({"key": pa.array(a, pa.int64())})
+
+    keys = cand.map_batches(pair_ids, batch_format="pyarrow")
+    if n_expected is None:
+        n_expected = max(1, 2 * cand.count())
+    bl = build_from_dataset(
+        keys, key_col="key", n_expected=n_expected, fpr=fpr
+    )
+    m, k, shards = bl.m, bl.k, bl.shards
+    bits_ref = ray.put(bl.bits)
+
+    def probe(b: pa.Table) -> pa.Table:
+        blm = Bloom(m, k, ray.get(bits_ref), shards=shards)  # zero-copy
+        vals = pc.cast(b.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return b.filter(pa.array(blm.contains(vals)))
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
 def _attach_sets(pairs_ds, sets_ds, *, key_col: str, out_col: str,
                  id_col: str, n_buckets: int, pairs_schema=None):
     """Shingle-set specialization of ``attach_column_lookup``."""
@@ -1091,28 +1140,17 @@ def verified_jaccard_pairs(ds, *, k: int = 3, num_perm: int = 64,
     sets = shingle_sets(ds, k=k, id_col=id_col)
 
     if prefilter:
-        import ray
-
-        ids: set = set()
-        # narrow driver pull: candidate ids only (two int64 columns of
-        # the near-dup subset), never documents or shingle payloads
-        for b in cand.iter_batches(batch_format="pyarrow"):
-            ids.update(b.column("id_a").to_pylist())
-            ids.update(b.column("id_b").to_pylist())
-        ref = ray.put(np.array(sorted(ids), dtype=np.int64))
-
-        def only_referenced(b: pa.Table) -> pa.Table:
-            keep = ray.get(ref)  # zero-copy shared ndarray
-            vals = b.column(id_col).to_numpy(zero_copy_only=False)
-            return b.filter(pa.array(np.isin(vals, keep)))
-
-        sets = sets.map_batches(only_referenced, batch_format="pyarrow")
+        # bounded Bloom prefilter over the candidate-id DATASET — no
+        # driver-side set, no sorted-ndarray broadcast (r3 verdict #2);
+        # false positives are unreferenced sets that match no pair in
+        # the attach and drop out, so the output stays exact
+        sets = bloom_id_prefilter(sets, cand, id_col=id_col)
 
     # one exploded-pair shuffle attaches BOTH sides' shingle sets —
     # the set table rides a single exchange (r2 verdict #3). With the
-    # prefilter on, total attach rows are bounded by 4×|cand| (two
-    # exploded rows + at most two referenced sets per pair), so the
-    # block count scales with the candidate table, not the corpus.
+    # prefilter on, total attach rows are bounded by 4×|cand| plus
+    # fpr·|corpus| Bloom false positives, so the block count scales
+    # with the candidate table, not the corpus.
     nb = (
         max(4, min(4096, 4 * cand.count() // 8192 + 1))
         if prefilter else None

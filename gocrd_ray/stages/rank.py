@@ -6,21 +6,28 @@ The classic range-partition + order-statistics shape (TeraSort lineage):
 
 1. sample keys per block → driver picks ≤ n_buckets−1 cutpoints
    (deterministic: sorted per-batch samples, fixed stride);
-2. every row routes to the bucket its key falls in (vectorized
-   searchsorted) — ONE narrow shuffle of (key, id) pairs;
-3. per bucket: vectorized lexsort gives local ranks, bucket row-counts
-   go back to the driver (one int per bucket);
-4. global rank = prefix-sum offset of the bucket + local rank,
-   attached in a second pass over the same grouped rows.
+2. per-block bincount against the cutpoints → driver sums bucket
+   totals into prefix offsets BEFORE anything shuffles (two cheap
+   scans of the materialized narrow (key, id) table — object-store
+   reads, no exchange);
+3. every row routes to the bucket its key falls in (vectorized
+   searchsorted) — ONE narrow shuffle of (key, id) pairs, the only
+   all-to-all in the whole operator;
+4. per bucket: vectorized lexsort gives local ranks and the global
+   rank = precomputed bucket offset + local rank is attached IN the
+   same map_groups — no post-shuffle count aggregate, no second
+   materialize barrier, no separate finalize pass (the round-3 form
+   paid all three: measured 1.9→6.5 s at sf0.1; this shape restores
+   the wall while keeping driver state O(buckets + samples)).
 
 Only (key, id) pairs ever move — never payload columns; the driver
-sees one sample slice and one count per bucket. Equal keys cannot
-straddle buckets (cutpoint routing is side='right' on the key alone),
-so ties are ranked wholly inside one bucket by the deterministic
-(key, id) tiebreak. A single massively-hot key value makes one big
-bucket — inherent to exact ranking (those rows must meet to be
-ordered); the vectorized in-bucket lexsort keeps even that case
-O(n log n) C time.
+sees one sample slice and one (bucket, partial-count) row per
+non-empty (block, bucket). Equal keys cannot straddle buckets
+(cutpoint routing is side='right' on the key alone), so ties are
+ranked wholly inside one bucket by the deterministic (key, id)
+tiebreak. A single massively-hot key value makes one big bucket —
+inherent to exact ranking (those rows must meet to be ordered); the
+vectorized in-bucket lexsort keeps even that case O(n log n) C time.
 """
 
 from __future__ import annotations
@@ -64,12 +71,15 @@ def global_rank(ds, *, key_col: str, id_col: str = "doc_id",
             }
         )
 
+    # materialized once: consumed by the sample scan, the count scan
+    # and the bucket shuffle — a lazy dataset would re-run the read
+    # per consumer
     narrow = ds.map_batches(keyed, batch_format="pyarrow").materialize()
 
-    # pass 0: deterministic sample → cutpoints. Sampling happens INSIDE
-    # map_batches (each block emits ≤ sample_per_block keys), so the
-    # driver pulls O(n_blocks × sample_per_block) rows — never the
-    # full key column.
+    # pass 0a: deterministic sample → cutpoints. Sampling happens
+    # INSIDE map_batches (each block emits ≤ sample_per_block keys),
+    # so the driver pulls O(n_blocks × sample_per_block) rows — never
+    # the full key column.
     def sample_block(b: pa.Table) -> pa.Table:
         ks = np.sort(b.column("__k").to_numpy(zero_copy_only=False))
         stride = max(1, len(ks) // sample_per_block)
@@ -88,6 +98,35 @@ def global_rank(ds, *, key_col: str, id_col: str = "doc_id",
         cuts = np.unique(allsamp)
     cuts_ref = ray.put(cuts)
 
+    # pass 0b: per-block bucket bincount → driver sums → prefix
+    # offsets, all BEFORE the shuffle. Each block emits one narrow
+    # (bucket, n) row per non-empty bucket; the driver holds
+    # O(buckets) ints. Knowing offsets up front is what lets the
+    # offset attach fuse into the per-bucket rank map below.
+    def count_block(b: pa.Table) -> pa.Table:
+        c = ray.get(cuts_ref)
+        k = b.column("__k").to_numpy(zero_copy_only=False)
+        bucket = np.searchsorted(c, k, side="right")
+        n = np.bincount(bucket, minlength=len(c) + 1)
+        nz = np.flatnonzero(n)
+        return pa.table(
+            {
+                "__bucket": pa.array(nz.astype(np.int32)),
+                "__n": pa.array(n[nz].astype(np.int64)),
+            }
+        )
+
+    counts = np.zeros(len(cuts) + 1, dtype=np.int64)
+    for r in (
+        narrow.select_columns(["__k"])
+        .map_batches(count_block, batch_format="pyarrow")
+        .take_all()
+    ):
+        counts[int(r["__bucket"])] += int(r["__n"])
+    offsets = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    off_ref = ray.put(offsets)
+
     def assign(b: pa.Table) -> pa.Table:
         c = ray.get(cuts_ref)
         k = b.column("__k").to_numpy(zero_copy_only=False)
@@ -96,53 +135,22 @@ def global_rank(ds, *, key_col: str, id_col: str = "doc_id",
 
     bucketed = narrow.map_batches(assign, batch_format="pyarrow")
 
-    def local_rank(group: pa.Table) -> pa.Table:
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)  # zero-copy shared ndarray
         k = group.column("__k").to_numpy(zero_copy_only=False)
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, k))
         lr = np.empty(len(k), dtype=np.int64)
         lr[order] = np.arange(len(k), dtype=np.int64)
+        bucket = int(group.column("__bucket")[0].as_py())
         return pa.table(
             {
                 id_col: group.column(id_col),
                 key_col: group.column(key_col),
-                "__bucket": group.column("__bucket"),
-                "__local": pa.array(lr),
+                "rank": pa.array(lr + off[bucket]),
             }
         )
 
-    ranked_local = bucketed.groupby("__bucket").map_groups(
-        local_rank, batch_format="pyarrow"
-    ).materialize()
-
-    # bucket sizes → prefix offsets: distributed count, then one tiny
-    # (bucket, count) table on the driver — O(n_buckets), never O(n)
-    counts: dict[int, int] = {
-        int(r["__bucket"]): int(r["count()"])
-        for r in ranked_local.groupby("__bucket").count().take_all()
-    }
-    offsets = {}
-    acc = 0
-    for bb in sorted(counts):
-        offsets[bb] = acc
-        acc += counts[bb]
-    off_ref = ray.put(offsets)
-
-    def finalize(b: pa.Table) -> pa.Table:
-        off = ray.get(off_ref)
-        bk = b.column("__bucket").to_numpy(zero_copy_only=False)
-        okeys = np.array(sorted(off), dtype=np.int64)
-        ovals = np.array([off[int(x)] for x in okeys], dtype=np.int64)
-        rank = (
-            b.column("__local").to_numpy(zero_copy_only=False)
-            + ovals[np.searchsorted(okeys, bk)]
-        )
-        return pa.table(
-            {
-                id_col: b.column(id_col),
-                key_col: b.column(key_col),
-                "rank": pa.array(rank),
-            }
-        )
-
-    return ranked_local.map_batches(finalize, batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(
+        rank_bucket, batch_format="pyarrow"
+    )

@@ -149,3 +149,28 @@ def test_empty_blocklist_dataset_build(ray_session):
     bl = build_from_dataset(ds, key_col="key", n_expected=0)
     fresh = np.asarray(["anything"], dtype=object)
     assert not bl.contains(fresh).any()
+
+
+def test_bloom_id_prefilter_superset_and_exactness(ray_session):
+    """The candidate-id prefilter keeps EVERY referenced id (no false
+    negatives — exactness of the verified-pairs path depends on it)
+    and prunes the overwhelming majority of unreferenced rows."""
+    import ray.data
+
+    from gocrd_ray.stages.dedup import bloom_id_prefilter
+
+    cand = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([1, 5, 9, 400], pa.int64()),
+        "id_b": pa.array([2, 6, 10, 900], pa.int64()),
+    }))
+    rows = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(3000)), pa.int64()),
+        "payload": pa.array([f"p{i}" for i in range(3000)], pa.string()),
+    })).repartition(7)
+    kept = {
+        r["doc_id"]
+        for r in bloom_id_prefilter(rows, cand, id_col="doc_id").take_all()
+    }
+    referenced = {1, 2, 5, 6, 9, 10, 400, 900}
+    assert referenced <= kept            # never drops a referenced id
+    assert len(kept) < 300               # and actually prunes (fpr-bounded)
