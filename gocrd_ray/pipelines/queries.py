@@ -77,22 +77,35 @@ def _full(sf_dir: str):
     return ds
 
 
-def _docs(sf_dir: str):
+# Loaders prune at the READ (columns= reaches the Parquet scan, so only
+# the named columns' row-group bytes leave storage — r3 verdict #5).
+# Defaults cover the overwhelmingly common consumers; queries needing
+# more (lang / source / props / label) ask for it explicitly.
+
+def _docs(sf_dir: str, columns: tuple = ("doc_id", "text")):
     from ..sources.pages import read_parquet_clean
 
-    return read_parquet_clean(f"{sf_dir}/documents.parquet")
+    return read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=list(columns)
+    )
 
 
-def _events(sf_dir: str):
+def _events(sf_dir: str,
+            columns: tuple = ("event_id", "ts", "user_id",
+                              "event_type", "value")):
     from ..sources.pages import read_parquet_clean
 
-    return read_parquet_clean(f"{sf_dir}/events.parquet")
+    return read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=list(columns)
+    )
 
 
-def _emb(sf_dir: str):
+def _emb(sf_dir: str, columns: tuple = ("vec_id", "embedding")):
     from ..sources.pages import read_parquet_clean
 
-    return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
+    return read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=list(columns)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1242,7 +1255,9 @@ def q_top_tokens_per_lang(sf_dir: str):
         name_map = {"lang": "lang", "token": "token", "token_count": "n"}
         return part.rename_columns([name_map[c] for c in part.column_names])
 
-    partials = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    partials = _docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        partial, batch_format="pyarrow"
+    )
     agg = partials.groupby(["lang", "token"]).sum("n")
 
     def rename(b: pa.Table) -> pa.Table:
