@@ -174,3 +174,24 @@ def test_bloom_id_prefilter_superset_and_exactness(ray_session):
     referenced = {1, 2, 5, 6, 9, 10, 400, 900}
     assert referenced <= kept            # never drops a referenced id
     assert len(kept) < 300               # and actually prunes (fpr-bounded)
+
+
+def test_semantic_dedup_corpus_smaller_than_n_clusters(ray_session):
+    """Corpora with fewer embeddings than n_clusters must degrade
+    (centroids clamp to the sample size), not crash rng.choice."""
+    import ray.data
+
+    from gocrd_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    tbl = pa.table({
+        "vec_id": pa.array(list(range(5)), pa.int64()),
+        "embedding": pa.array(
+            [list(map(float, rng.randn(8))) for _ in range(5)],
+            pa.list_(pa.float32()),
+        ),
+    })
+    out = semantic_dedup(
+        ray.data.from_arrow(tbl), n_clusters=16, threshold=0.95
+    ).take_all()
+    assert len(out) == 5 and all(r["keep"] for r in out)

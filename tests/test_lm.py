@@ -114,3 +114,25 @@ def test_empty_and_null_docs_score_zero(ray_session):
     assert out["n_bigrams"].tolist() == [0, 0, 0]
     assert out["score_fp"].tolist() == [0, 0, 0]
     assert out["avg_logprob"].tolist() == [0.0, 0.0, 0.0]
+
+
+def test_empty_training_vocabulary_raises_descriptive(ray_session):
+    """An empty hash-sampled training slice must fail at TRAIN time
+    with a clear message — not as a math-domain error inside every
+    scoring batch (V=0 -> ln(0))."""
+    import pytest
+    import ray.data
+
+    from gocrd_ray.stages import lm
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["alpha beta", "gamma"], pa.string()),
+            }
+        )
+    )
+    # sample_hex="00000000" admits (almost) nothing into the slice
+    with pytest.raises(ValueError, match="empty vocabulary"):
+        lm.train_bigram_lm(ds, sample_hex="00000000")

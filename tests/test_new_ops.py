@@ -325,3 +325,18 @@ def test_dedup_incremental_tolerates_null_text(ray_session, tmp_path):
     # 5 ("only-old" text but doc 5 is NEW; not in archive -> kept);
     # null-text docs never crash and never survive
     assert kept == [3, 5]
+
+    # the ORACLE must agree on this null-bearing corpus too: without
+    # `text IS NOT NULL` in the archive subquery, md5(NULL) enters the
+    # NOT IN set and the oracle collapses to 0 rows (r3 advice)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf / 'documents.parquet'}')"
+    )
+    oracle = sorted(
+        r[0] for r in con.execute(e.oracle_sql()["dedup_incremental"]).fetchall()
+    )
+    assert oracle == kept
