@@ -31,6 +31,8 @@ full vocabulary and the result is exact with no bound needed.
 
 from __future__ import annotations
 
+import heapq
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -74,6 +76,18 @@ class _SpaceSaving:
         self.capacity = capacity
         self.counts: dict[str, int] = {}
         self.evicted = False
+        # lazy-deletion min-heap of (count, token); an entry is live
+        # iff it matches counts[token]. O(log D) amortized per offer
+        # vs the O(D) min-scan; compacted when stale entries pile up
+        # so memory stays O(D).
+        self._heap: list[tuple[int, str]] = []
+
+    def _evict_min(self) -> int:
+        while True:
+            cnt, tok = heapq.heappop(self._heap)
+            if self.counts.get(tok) == cnt:
+                del self.counts[tok]
+                return cnt
 
     def offer(self, token: str, n: int) -> None:
         c = self.counts
@@ -83,9 +97,12 @@ class _SpaceSaving:
             c[token] = n
         else:
             self.evicted = True
-            victim = min(c, key=c.get)
-            floor = c.pop(victim)
-            c[token] = floor + n
+            n += self._evict_min()  # inherit the victim's count floor
+            c[token] = n
+        heapq.heappush(self._heap, (c[token], token))
+        if len(self._heap) > 4 * self.capacity:
+            self._heap = [(v, t) for t, v in c.items()]
+            heapq.heapify(self._heap)
 
 
 def top_k_bounded(ds, *, k: int = 20, cap: int = 4096,

@@ -23,8 +23,6 @@ schema instability into the stream.
 
 from __future__ import annotations
 
-import zlib
-
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -47,14 +45,20 @@ def broadcast_join(ds, small: pa.Table, *, keys, join_type: str = "inner"):
 
 
 def _bucket_of(col, n_buckets: int) -> pa.Array:
-    # crc32 of the decimal/string form: uniform, deterministic, equal
-    # for equal keys regardless of integer width. (Scalar loop — key
-    # columns only; swap for a vectorized hash kernel if it ever shows
-    # in stats.)
-    return pa.array(
-        [zlib.crc32(str(v).encode()) % n_buckets for v in col.to_pylist()],
-        pa.int32(),
+    # hash of the decimal/string form: uniform, deterministic (fixed
+    # default hash_array key), equal for equal keys regardless of
+    # integer width. Arrow cast + one hash_array call — no per-row
+    # Python; this path sees every row of both join sides.
+    import numpy as np
+    import pandas as pd
+
+    strs = pc.fill_null(pc.cast(col, pa.string()), "None")
+    if isinstance(strs, pa.ChunkedArray):
+        strs = strs.combine_chunks()
+    h = pd.util.hash_array(
+        np.asarray(strs, dtype=object), categorize=False
     )
+    return pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32())
 
 
 def _aligned(batch: pa.Table, target: pa.Schema) -> pa.Table:

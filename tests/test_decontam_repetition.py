@@ -354,6 +354,41 @@ def test_top_k_bounded_tiny_cap_equals_exact_or_raises(ray_session):
         top_k_bounded(ds, k=5, cap=2, text_col="text")
 
 
+def test_spacesaving_heap_matches_minscan_reference():
+    """The lazy-heap eviction (O(log D)) must evict a true minimum on
+    every full insert and keep survivors' counts identical to a plain
+    min-scan SpaceSaving over the same stream; heap stays O(capacity)."""
+    import random
+
+    from gocrd_ray.stages.heavyhitters import _SpaceSaving
+
+    class _MinScan:
+        def __init__(self, capacity):
+            self.capacity, self.counts, self.evicted = capacity, {}, False
+
+        def offer(self, token, n):
+            c = self.counts
+            if token in c:
+                c[token] += n
+            elif len(c) < self.capacity:
+                c[token] = n
+            else:
+                self.evicted = True
+                # identical tie rule to the heap: (count, token) min
+                victim = min(c, key=lambda t: (c[t], t))
+                c[token] = c.pop(victim) + n
+
+    rng = random.Random(7)
+    ss, ref = _SpaceSaving(16), _MinScan(16)
+    for _ in range(5000):
+        tok = f"t{rng.randrange(200):03d}"
+        n = rng.randrange(1, 5)
+        ss.offer(tok, n)
+        ref.offer(tok, n)
+    assert ss.counts == ref.counts and ss.evicted and ref.evicted
+    assert len(ss._heap) <= 4 * ss.capacity + 1  # compaction bound
+
+
 def test_bloom_filter_ds_equals_anti_join_no_set_broadcast(ray_session):
     """The dataset-native bloom path (r2 verdict #4) must equal the
     plain anti-join on a corpus engineered to produce Bloom false

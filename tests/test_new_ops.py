@@ -340,3 +340,24 @@ def test_dedup_incremental_tolerates_null_text(ray_session, tmp_path):
         r[0] for r in con.execute(e.oracle_sql()["dedup_incremental"]).fetchall()
     )
     assert oracle == kept
+
+
+def test_bucket_of_vectorized_contract():
+    """Hash-join bucketing: equal decimal/string key forms must land in
+    the same bucket regardless of integer width or chunking; nulls are
+    deterministic. (Vectorized hash_array path — no per-row Python.)"""
+    import pyarrow as pa
+
+    from gocrd_ray.stages.join import _bucket_of
+
+    i32 = pa.chunked_array(
+        [pa.array([1, 2], pa.int32()), pa.array([None], pa.int32())]
+    )
+    i64 = pa.array([2, 4, 1], pa.int64())
+    s = pa.array(["1", "2", None])
+    b32, b64, bs = (_bucket_of(c, 32) for c in (i32, i64, s))
+    assert b32[1] == b64[0] and b32[0] == b64[2]  # width-independent
+    assert bs[0] == b32[0] and bs[1] == b32[1]    # string form matches
+    assert bs[2] == b32[2]                        # nulls deterministic
+    # two calls agree (fixed hash key, no per-process seed)
+    assert _bucket_of(i64, 32).to_pylist() == b64.to_pylist()
