@@ -420,7 +420,7 @@ def repeated_substring_spans_bucketed(ds, *, min_len: int = 50,
     Result == the broadcast form row-for-row (pinned in tests)."""
     import ray
 
-    from .bloom import paste_partials, shard_partials_hashed
+    from .bloom import build_from_hashed_dataset
 
     # materialize: the dup table is consumed three times below (count,
     # Bloom bits build, verify union) and a lazy dataset re-executes
@@ -430,15 +430,15 @@ def repeated_substring_spans_bucketed(ds, *, min_len: int = 50,
         ds, min_len=min_len, text_col=text_col, n_buckets=n_buckets
     ).materialize()
 
-    # SHARDED distributed Bloom build over the dup-hash DATASET: no
-    # task allocates the full bit array, the driver pastes n_shards
-    # slices (m/8 bytes total) instead of OR-merging one full-size
-    # partial per dup block
+    # Bloom build over the dup-hash DATASET — adaptive: above the
+    # small-side threshold it runs SHARDED and distributed (no task
+    # allocates the full bit array, the driver pastes n_shards slices,
+    # m/8 bytes total, instead of OR-merging one full-size partial per
+    # dup block); small dup tables stream through a local add and skip
+    # the groupby barrier
     n_expected = max(1, dup.count())
-    partials, (m, k, n_shards) = shard_partials_hashed(
-        dup, n_expected=n_expected, fpr=fpr
-    )
-    bits = paste_partials(partials, m=m, n_shards=n_shards)
+    _bl = build_from_hashed_dataset(dup, n_expected=n_expected, fpr=fpr)
+    m, k, n_shards, bits = _bl.m, _bl.k, _bl.shards, _bl.bits
     bits_ref = ray.put(bits)
 
     union_schema = pa.schema(

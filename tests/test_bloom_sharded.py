@@ -138,6 +138,40 @@ def test_pair_bloom_dataset_build_matches_driver_reference(ray_session):
     assert (bits == ref).all()
 
 
+def test_small_build_path_bit_identical_to_distributed(ray_session):
+    """The adaptive small-side build (driver streams the narrow key
+    column; no groupby barrier) must produce the SAME filter, bit for
+    bit, as the sharded distributed path — for string keys and for
+    pre-hashed pairs."""
+    import ray.data
+
+    from gocrd_ray.stages.bloom import (
+        build_from_dataset, build_from_hashed_dataset,
+    )
+
+    keys = pa.table({
+        "key": pa.array([f"h{i}.example.com" for i in range(3000)]),
+        "extra": pa.array(list(range(3000)), pa.int64()),
+    })
+    ds = ray.data.from_arrow(keys).repartition(8)
+    small = build_from_dataset(ds, key_col="key", n_expected=3000)
+    dist = build_from_dataset(ds, key_col="key", n_expected=3000,
+                              small_threshold=0)
+    assert (small.m, small.k, small.shards) == (dist.m, dist.k, dist.shards)
+    assert (small.bits == dist.bits).all()
+
+    rng = np.random.RandomState(23)
+    h = pa.table({
+        "h1": pa.array(rng.randint(0, 2**63, 2500).astype(np.uint64)),
+        "h2": pa.array(rng.randint(0, 2**63, 2500).astype(np.uint64)),
+    })
+    hds = ray.data.from_arrow(h).repartition(5)
+    small_h = build_from_hashed_dataset(hds, n_expected=2500)
+    dist_h = build_from_hashed_dataset(hds, n_expected=2500,
+                                       small_threshold=0)
+    assert (small_h.bits == dist_h.bits).all()
+
+
 def test_empty_blocklist_dataset_build(ray_session):
     import ray.data
 
