@@ -61,9 +61,28 @@ def _hash2(keys) -> tuple[np.ndarray, np.ndarray]:
         h1 = _splitmix64(v, 0x9E3779B97F4A7C15)
         h2 = _splitmix64(v, 0xD1B54A32D192ED03) | np.uint64(1)
         return h1, h2
+    if arr.dtype.kind == "f":
+        # almost always an Arrow nullable-int to_numpy coercion
+        # (int64-with-nulls -> float64+NaN); hashing the float view
+        # would silently diverge from the int64 fast path on the other
+        # side of the filter — refuse loudly instead
+        raise TypeError(
+            "_hash2: float key arrays are ambiguous (nullable-int "
+            "coercion?) — drop nulls and pass int64 or strings"
+        )
     import pandas as pd
 
     arr = np.asarray(keys, dtype=object)
+    first = next((x for x in arr if x is not None), None)
+    if isinstance(first, (int, np.integer)) and not isinstance(first, bool):
+        # integer keys in an OBJECT container (e.g. np.asarray(list,
+        # dtype=object)) must hash exactly like the native int64 fast
+        # path, or a filter built from one container silently never
+        # matches probes from the other
+        try:
+            return _hash2(arr.astype(np.int64))
+        except (TypeError, ValueError, OverflowError):
+            pass  # mixed types / None / out-of-range -> generic path
     h1 = pd.util.hash_array(arr, categorize=False).astype(np.uint64)
     h2 = pd.util.hash_array(
         arr, categorize=False, hash_key="gocrd_bloom_h2_k"
@@ -90,7 +109,10 @@ def sharded_params(n_keys: int, fpr: float = 0.01,
     """
     m, k = params_for(n_keys, fpr)
     n_shards = max(1, min(int(n_shards), (m + 63) // 64))
-    ms_bytes = (m + n_shards * 8 - 1) // (n_shards * 8)
+    # >= 8 bytes per slice so the documented 64-bit minimum holds even
+    # after byte-rounding (m=80, 2 shards would otherwise give 40-bit
+    # slices); total m only ever rounds UP, so fpr never degrades
+    ms_bytes = max(8, (m + n_shards * 8 - 1) // (n_shards * 8))
     return ms_bytes * 8 * n_shards, k, n_shards
 
 
@@ -209,15 +231,13 @@ def _make_build_slice(ms: int, k: int):
     this shard's ms/8 bytes. Expects odd h2 (double-hash step)."""
 
     def build_slice(g: pa.Table) -> pa.Table:
-        slice_bits = np.zeros(ms // 8, dtype=np.uint8)
         h1 = g.column("h1").to_numpy(zero_copy_only=False).astype(np.uint64)
         h2 = g.column("h2").to_numpy(zero_copy_only=False).astype(np.uint64)
-        for i in range(k):
-            idx = (h1 + np.uint64(i) * h2) % np.uint64(ms)
-            np.bitwise_or.at(
-                slice_bits, (idx >> np.uint64(3)).astype(np.int64),
-                (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
-            )
+        # a flat ms-bit Bloom IS one slice: same in-slice probe formula
+        # as Bloom._indices with shards=1 (h2 already odd from route)
+        sl = Bloom(ms, k)
+        sl._add_hashed(h1, h2)
+        slice_bits = sl.bits
         shard = int(g.column("shard")[0].as_py())
         return pa.table({
             "shard": pa.array([shard], pa.int32()),
@@ -361,12 +381,18 @@ class BloomBlocklistFilter:
         self.key_col = key_col
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        keys = b.column(self.key_col).to_numpy(zero_copy_only=False)
-        maybe = self.bloom.contains(keys)
-        hit = np.zeros(len(keys), dtype=bool)
-        if maybe.any():
-            mi = np.flatnonzero(maybe)
-            hit[mi] = [keys[j] in self.exact for j in mi]
+        # probe only valid values in their NATIVE dtype (a null-bearing
+        # int64 column coerces to float64 and would hash off the int64
+        # fast path the build used); null keys are never blocked
+        col = b.column(self.key_col)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        hit = np.zeros(len(col), dtype=bool)
+        if valid.any():
+            vals = col.drop_null().to_numpy(zero_copy_only=False)
+            maybe = np.flatnonzero(self.bloom.contains(vals))
+            if len(maybe):
+                vidx = np.flatnonzero(valid)[maybe]
+                hit[vidx] = [vals[j] in self.exact for j in maybe]
         return b.filter(pa.array(~hit))
 
 
@@ -408,16 +434,17 @@ def bloom_blocklist_filter_ds(ds, blocked_ds, *, key_col: str,
     bits_ref = ray.put(bloom.bits)
 
     def probe(b: pa.Table, keep_maybe: bool) -> pa.Table:
-        # zero-copy ndarray view of the broadcast bits
+        # zero-copy ndarray view of the broadcast bits; probe ONLY the
+        # valid values in their NATIVE dtype — a mixed object array
+        # (ints + "" null sentinel) would silently fall off the int64
+        # hash fast path the build side used
         bl = Bloom(m, k, ray.get(bits_ref), shards=shards)
-        keys = np.asarray(
-            [v if v is not None else "" for v in
-             b.column(key_col).to_pylist()],
-            dtype=object,
-        )
-        maybe = bl.contains(keys) & pc.is_valid(
-            b.column(key_col)
-        ).to_numpy(zero_copy_only=False)
+        col = b.column(key_col)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        maybe = np.zeros(len(col), dtype=bool)
+        if valid.any():
+            vals = col.drop_null().to_numpy(zero_copy_only=False)
+            maybe[valid] = bl.contains(vals)
         return b.filter(pa.array(maybe if keep_maybe else ~maybe))
 
     clean = ds.map_batches(
@@ -449,30 +476,36 @@ def bloom_blocklist_filter_ds(ds, blocked_ds, *, key_col: str,
     def _bucket_of(keys: np.ndarray) -> np.ndarray:
         return (pd.util.hash_array(keys) % n_buckets).astype(np.int32)
 
+    def _key_strs(col) -> pa.Array:
+        # decimal/string form, vectorized: the exact-verify union keys
+        # on strings so integer and string key columns both work; null
+        # -> "" (null keys are never blocked, and "" can't appear in a
+        # non-null blocklist row's decimal form collision-free enough —
+        # the Bloom stage already routed nulls to the clean branch)
+        s = pc.fill_null(pc.cast(col, pa.string()), "")
+        return s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+
     def tag_rows(b: pa.Table) -> pa.Table:
-        keys = np.asarray(
-            [v if v is not None else "" for v in
-             b.column(key_col).to_pylist()],
-            dtype=object,
-        )
-        b = b.append_column("__bkey", pa.array(keys, pa.string()))
+        ks = _key_strs(b.column(key_col))
+        b = b.append_column("__bkey", ks)
         b = b.append_column(
             "__is_block", pa.array(np.zeros(len(b), np.int8))
         )
-        b = b.append_column("__bucket", pa.array(_bucket_of(keys)))
+        b = b.append_column(
+            "__bucket",
+            pa.array(_bucket_of(np.asarray(ks, dtype=object))),
+        )
         return _aligned(b)
 
     def tag_block(b: pa.Table) -> pa.Table:
-        keys = np.asarray(
-            [v if v is not None else "" for v in
-             b.column(blocked_col).to_pylist()],
-            dtype=object,
-        )
+        ks = _key_strs(b.column(blocked_col))
         t = pa.table(
             {
-                "__bkey": pa.array(keys, pa.string()),
-                "__is_block": pa.array(np.ones(len(keys), np.int8)),
-                "__bucket": pa.array(_bucket_of(keys)),
+                "__bkey": ks,
+                "__is_block": pa.array(np.ones(len(ks), np.int8)),
+                "__bucket": pa.array(
+                    _bucket_of(np.asarray(ks, dtype=object))
+                ),
             }
         )
         return _aligned(t)

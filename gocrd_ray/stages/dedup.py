@@ -1060,10 +1060,13 @@ def bloom_id_prefilter(ds, cand, *, id_col: str, fpr: float = 1e-3,
     from .bloom import Bloom, build_from_dataset
 
     def pair_ids(b: pa.Table) -> pa.Table:
+        # drop_null BEFORE to_numpy: a null-bearing int64 column
+        # coerces to float64, whose hashes diverge from the int64 fast
+        # path (build/probe mismatch = silent false negatives)
         a = np.concatenate([
-            pc.cast(b.column("id_a"), pa.int64()).to_numpy(
+            pc.drop_null(pc.cast(b.column("id_a"), pa.int64())).to_numpy(
                 zero_copy_only=False),
-            pc.cast(b.column("id_b"), pa.int64()).to_numpy(
+            pc.drop_null(pc.cast(b.column("id_b"), pa.int64())).to_numpy(
                 zero_copy_only=False),
         ])
         return pa.table({"key": pa.array(a, pa.int64())})
@@ -1079,9 +1082,14 @@ def bloom_id_prefilter(ds, cand, *, id_col: str, fpr: float = 1e-3,
 
     def probe(b: pa.Table) -> pa.Table:
         blm = Bloom(m, k, ray.get(bits_ref), shards=shards)  # zero-copy
-        vals = pc.cast(b.column(id_col), pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
+        col = pc.cast(b.column(id_col), pa.int64())
+        if col.null_count:
+            # null ids can't be referenced by any (int64) pair — drop
+            # them here rather than let the float64 coercion poison
+            # the hashes of the whole batch
+            b = b.filter(pc.is_valid(col))
+            col = pc.drop_null(col)
+        vals = col.to_numpy(zero_copy_only=False)
         return b.filter(pa.array(blm.contains(vals)))
 
     return ds.map_batches(probe, batch_format="pyarrow")
@@ -1125,13 +1133,18 @@ def verified_jaccard_pairs(ds, *, k: int = 3, num_perm: int = 64,
     output is bit-equal to ``ngram_jaccard_pairs`` / the SQL oracle;
     otherwise it is the documented recall-bounded subset.
     """
+    cand_dup_factor = 1
     if candidates is None:
         # raw per-band collisions — duplicate pairs are fine (the
         # attach regroup dedups them), so the distinct groupby that
-        # lsh_candidate_pairs would run is skipped: one less all-to-all
+        # lsh_candidate_pairs would run is skipped: one less all-to-all.
+        # Each true pair appears up to `bands` times here; remember the
+        # factor so the prefilter Bloom is sized on distinct ids, not
+        # raw rows (sizing only affects fpr, never correctness)
         candidates = lsh_raw_band_pairs(
             ds, num_perm=num_perm, bands=bands, k=k, id_col=id_col
         )
+        cand_dup_factor = bands
 
     def drop_n(b: pa.Table) -> pa.Table:
         return b.select(["id_a", "id_b"])
@@ -1144,7 +1157,10 @@ def verified_jaccard_pairs(ds, *, k: int = 3, num_perm: int = 64,
         # driver-side set, no sorted-ndarray broadcast (r3 verdict #2);
         # false positives are unreferenced sets that match no pair in
         # the attach and drop out, so the output stays exact
-        sets = bloom_id_prefilter(sets, cand, id_col=id_col)
+        sets = bloom_id_prefilter(
+            sets, cand, id_col=id_col,
+            n_expected=max(1, 2 * cand.count() // cand_dup_factor),
+        )
 
     # one exploded-pair shuffle attaches BOTH sides' shingle sets —
     # the set table rides a single exchange (r2 verdict #3). With the

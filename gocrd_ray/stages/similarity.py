@@ -300,7 +300,12 @@ def cosine_neardup_pairs_lsh(
         # out, so the verified output stays exact
         from .dedup import bloom_id_prefilter
 
-        emb = bloom_id_prefilter(emb, cand, id_col=id_col)
+        # raw band collisions repeat each true pair up to `bands`
+        # times — size the Bloom on distinct ids (fpr-only effect)
+        emb = bloom_id_prefilter(
+            emb, cand, id_col=id_col,
+            n_expected=max(1, 2 * cand.count() // bands),
+        )
 
     # one exploded-pair shuffle attaches BOTH sides' embeddings —
     # the embedding table rides a single exchange (r2 verdict #3);

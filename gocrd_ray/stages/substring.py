@@ -361,38 +361,22 @@ def _pair_bloom_set(h1: np.ndarray, h2: np.ndarray, m: int, k: int,
     """Set Bloom bits for (h1, h2) window-hash pairs. The rolling
     hashes are already uniform 64-bit values, so Kirsch–Mitzenmacher
     double hashing runs directly on them (idx_i = h1 + i·(h2|1) mod m)
-    — no re-hash, all uint64 vector ops. ``shards>1`` selects the
-    partitioned layout (h1's top bits pick an m/shards-bit slice, all
-    probes inside it) matching ``bloom.shard_partials_hashed``."""
-    from .bloom import _shard_of
+    — no re-hash, all uint64 vector ops. Delegates to ``Bloom`` so the
+    partitioned probe-index formula lives in exactly ONE place (a
+    drifted copy here would mean silent false negatives in the
+    bucketed substring path)."""
+    from .bloom import Bloom
 
-    step = h2 | np.uint64(1)
-    ms = np.uint64(m // shards)
-    base = _shard_of(h1, shards) * ms if shards > 1 else np.uint64(0)
-    for i in range(k):
-        idx = base + (h1 + np.uint64(i) * step) % ms
-        np.bitwise_or.at(
-            bits, (idx >> np.uint64(3)).astype(np.int64),
-            (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
-        )
+    Bloom(m, k, bits, shards=shards)._add_hashed(h1, h2 | np.uint64(1))
 
 
 def _pair_bloom_probe(h1: np.ndarray, h2: np.ndarray, m: int, k: int,
                       bits: np.ndarray, shards: int = 1) -> np.ndarray:
-    from .bloom import _shard_of
+    from .bloom import Bloom
 
-    step = h2 | np.uint64(1)
-    ms = np.uint64(m // shards)
-    base = _shard_of(h1, shards) * ms if shards > 1 else np.uint64(0)
-    out = np.ones(len(h1), dtype=bool)
-    for i in range(k):
-        idx = base + (h1 + np.uint64(i) * step) % ms
-        bit = (
-            bits[(idx >> np.uint64(3)).astype(np.int64)]
-            >> (idx & np.uint64(7)).astype(np.uint8)
-        ) & 1
-        out &= bit.astype(bool)
-    return out
+    return Bloom(m, k, bits, shards=shards)._contains_hashed(
+        h1, h2 | np.uint64(1)
+    )
 
 
 def repeated_substring_spans_bucketed(ds, *, min_len: int = 50,

@@ -14,14 +14,16 @@ must satisfy, structurally:
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pytest
 
 
 def test_sharded_params_alignment():
     from gocrd_ray.stages.bloom import params_for, sharded_params
 
     for n, fpr, shards in [(100, 0.01, 64), (10**7, 0.01, 64),
-                           (5, 0.5, 64), (10**9, 0.001, 256)]:
+                           (5, 0.5, 64), (10**9, 0.001, 256),
+                           # tiny filters where byte-rounding used to
+                           # shrink slices below the 64-bit minimum
+                           (50, 0.5, 64), (60, 0.5, 64)]:
         m, k, s = sharded_params(n, fpr, shards)
         m0, k0 = params_for(n, fpr)
         assert k == k0
@@ -136,6 +138,88 @@ def test_pair_bloom_dataset_build_matches_driver_reference(ray_session):
     ref = np.zeros(m // 8, dtype=np.uint8)
     _pair_bloom_set(h1, h2, m, k, ref, shards=shards)
     assert (bits == ref).all()
+
+
+def test_hash2_container_invariant_for_integer_keys():
+    """Integer keys must hash identically whether they arrive as a
+    native int64 array or an object array (e.g. from list/tolist) —
+    a filter built from one container and probed from the other would
+    otherwise silently never match. Float arrays (the Arrow
+    nullable-int coercion) must refuse loudly, not diverge silently."""
+    import pytest
+
+    from gocrd_ray.stages.bloom import _hash2
+
+    ints = np.array([1, 2, 3, 2**40], dtype=np.int64)
+    objs = np.array([1, 2, 3, 2**40], dtype=object)
+    for a, b in zip(_hash2(ints), _hash2(objs)):
+        assert (a == b).all()
+    with pytest.raises(TypeError, match="float"):
+        _hash2(np.array([1.0, 2.0]))
+    # strings still take the generic path and don't collide with ints
+    s = _hash2(np.array(["1", "2", "3", str(2**40)], dtype=object))
+    assert not (s[0] == _hash2(ints)[0]).all()
+
+
+def test_int_key_blocklist_filter_end_to_end(ray_session):
+    """A blocklist of INTEGER keys must actually drop the blocked rows
+    (the r4 splitmix fast path briefly made build [object array] and
+    probe [native int64] hash differently — every blocked row kept)."""
+    import ray.data
+
+    from gocrd_ray.stages.bloom import (
+        bloom_blocklist_filter, bloom_blocklist_filter_ds,
+    )
+
+    uids = list(range(200)) + [None]  # null key: never blocked, kept
+    rows = ray.data.from_arrow(pa.table({
+        "uid": pa.array(uids, pa.int64()),
+        "v": pa.array([f"p{i}" for i in range(201)], pa.string()),
+    })).repartition(4)
+    blocked = [3, 77, 150, 199]
+    want = [i for i in range(200) if i not in set(blocked)] + [None]
+    key = lambda x: (x is None, x)  # noqa: E731
+    kept = sorted(
+        (r["uid"] for r in
+         bloom_blocklist_filter(rows, blocked, key_col="uid").take_all()),
+        key=key,
+    )
+    assert kept == want
+
+    blocked_ds = ray.data.from_arrow(
+        pa.table({"uid": pa.array(blocked, pa.int64())})
+    )
+    kept_ds = sorted(
+        (r["uid"] for r in bloom_blocklist_filter_ds(
+            rows, blocked_ds, key_col="uid"
+        ).take_all()),
+        key=key,
+    )
+    assert kept_ds == want
+
+
+def test_bloom_id_prefilter_null_ids_never_poison_batch(ray_session):
+    """A null id inside a batch must not flip the whole batch's hash
+    path (int64 -> float64 coercion): referenced ids stay kept, null
+    ids drop (they can't match any pair)."""
+    import ray.data
+
+    from gocrd_ray.stages.dedup import bloom_id_prefilter
+
+    cand = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([1, 5], pa.int64()),
+        "id_b": pa.array([2, 6], pa.int64()),
+    }))
+    rows = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, None, 5, 6, 999], pa.int64()),
+        "payload": pa.array(list("abcdef"), pa.string()),
+    }))
+    kept = {
+        r["doc_id"]
+        for r in bloom_id_prefilter(rows, cand, id_col="doc_id").take_all()
+    }
+    assert {1, 2, 5, 6} <= kept
+    assert None not in kept
 
 
 def test_small_build_path_bit_identical_to_distributed(ray_session):
