@@ -1057,7 +1057,7 @@ def bloom_id_prefilter(ds, cand, *, id_col: str, fpr: float = 1e-3,
     """
     import ray
 
-    from .bloom import Bloom, build_from_dataset
+    from .bloom import SMALL_BUILD_MAX_KEYS, Bloom, build_from_dataset
 
     def pair_ids(b: pa.Table) -> pa.Table:
         # drop_null BEFORE to_numpy: a null-bearing int64 column
@@ -1072,11 +1072,48 @@ def bloom_id_prefilter(ds, cand, *, id_col: str, fpr: float = 1e-3,
         return pa.table({"key": pa.array(a, pa.int64())})
 
     keys = cand.map_batches(pair_ids, batch_format="pyarrow")
-    if n_expected is None:
-        n_expected = max(1, 2 * cand.count())
-    bl = build_from_dataset(
-        keys, key_col="key", n_expected=n_expected, fpr=fpr
-    )
+    # Sizing must use the DISTINCT id count, not raw rows — raw band
+    # collisions repeat a pair up to `bands` times (oversizing the
+    # broadcast bits ~bands x at 10^9 ids), while assuming every pair
+    # repeats in EVERY band undersizes up to bands x, saturating the
+    # filter (fpr -> 1: the prefilter silently stops pruning; measured
+    # as a 2-4x wall regression on dedup_verified at sf0.1).
+    if n_expected is None and 2 * cand.count() <= SMALL_BUILD_MAX_KEYS:
+        # small side (raw rows bound the distinct count): ONE streaming
+        # pass collects the pre-hashed pairs (<= 16 MB at the
+        # threshold), sizes EXACTLY on unique h1, then bulk-adds
+        from .bloom import _hash2, sharded_params
+
+        hs = [
+            _hash2(blk.column("key").to_numpy(zero_copy_only=False))
+            for blk in keys.iter_batches(batch_format="pyarrow")
+            if blk.num_rows
+        ]
+        h1 = (np.concatenate([a for a, _ in hs]) if hs
+              else np.zeros(0, np.uint64))
+        h2 = (np.concatenate([b for _, b in hs]) if hs
+              else np.zeros(0, np.uint64))
+        m, k, shards = sharded_params(
+            max(16, len(np.unique(h1))), fpr
+        )
+        bl = Bloom(m, k, shards=shards)
+        bl._add_hashed(h1, h2)
+    else:
+        if n_expected is None:
+            # scale path: HLL distinct-id estimate (one streaming pass,
+            # constant-size driver state), then the sharded distributed
+            # build. ±2% HLL error is swallowed by the 1.3 margin;
+            # sizing never affects correctness, only fpr.
+            from .sketch import approx_distinct
+
+            est = approx_distinct(
+                keys,
+                lambda b: pc.cast(b.column("key"), pa.string()).to_pylist(),
+            )
+            n_expected = max(16, int(1.3 * est))
+        bl = build_from_dataset(
+            keys, key_col="key", n_expected=n_expected, fpr=fpr
+        )
     m, k, shards = bl.m, bl.k, bl.shards
     bits_ref = ray.put(bl.bits)
 
@@ -1133,18 +1170,15 @@ def verified_jaccard_pairs(ds, *, k: int = 3, num_perm: int = 64,
     output is bit-equal to ``ngram_jaccard_pairs`` / the SQL oracle;
     otherwise it is the documented recall-bounded subset.
     """
-    cand_dup_factor = 1
     if candidates is None:
         # raw per-band collisions — duplicate pairs are fine (the
         # attach regroup dedups them), so the distinct groupby that
-        # lsh_candidate_pairs would run is skipped: one less all-to-all.
-        # Each true pair appears up to `bands` times here; remember the
-        # factor so the prefilter Bloom is sized on distinct ids, not
-        # raw rows (sizing only affects fpr, never correctness)
+        # lsh_candidate_pairs would run is skipped: one less all-to-all
+        # (the prefilter sizes its Bloom on an HLL distinct-id estimate,
+        # so the duplicate rows don't inflate the broadcast bits)
         candidates = lsh_raw_band_pairs(
             ds, num_perm=num_perm, bands=bands, k=k, id_col=id_col
         )
-        cand_dup_factor = bands
 
     def drop_n(b: pa.Table) -> pa.Table:
         return b.select(["id_a", "id_b"])
@@ -1157,10 +1191,7 @@ def verified_jaccard_pairs(ds, *, k: int = 3, num_perm: int = 64,
         # driver-side set, no sorted-ndarray broadcast (r3 verdict #2);
         # false positives are unreferenced sets that match no pair in
         # the attach and drop out, so the output stays exact
-        sets = bloom_id_prefilter(
-            sets, cand, id_col=id_col,
-            n_expected=max(1, 2 * cand.count() // cand_dup_factor),
-        )
+        sets = bloom_id_prefilter(sets, cand, id_col=id_col)
 
     # one exploded-pair shuffle attaches BOTH sides' shingle sets —
     # the set table rides a single exchange (r2 verdict #3). With the

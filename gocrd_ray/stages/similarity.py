@@ -300,12 +300,7 @@ def cosine_neardup_pairs_lsh(
         # out, so the verified output stays exact
         from .dedup import bloom_id_prefilter
 
-        # raw band collisions repeat each true pair up to `bands`
-        # times — size the Bloom on distinct ids (fpr-only effect)
-        emb = bloom_id_prefilter(
-            emb, cand, id_col=id_col,
-            n_expected=max(1, 2 * cand.count() // bands),
-        )
+        emb = bloom_id_prefilter(emb, cand, id_col=id_col)
 
     # one exploded-pair shuffle attaches BOTH sides' embeddings —
     # the embedding table rides a single exchange (r2 verdict #3);
