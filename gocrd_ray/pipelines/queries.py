@@ -701,7 +701,15 @@ def q_dedup_incremental_fuzzy(sf_dir: str):
     rolling crawl runs after the exact digest pass. Composed from the
     scale paths: verified_jaccard_pairs over the union, cross-snapshot
     pairs only, Bloom + co-partitioned loser anti-join (the loser-id
-    set never broadcasts). Snapshots simulated by doc_id parity."""
+    set never broadcasts). Snapshots simulated by doc_id parity.
+
+    Keeps verified_jaccard_pairs' hot_mode="error" default: the loser
+    rule consumes DIRECT cross-parity pairs, which star emission can
+    miss (a hot bucket whose run-min is odd star-links odd members to
+    the odd min, not to the even archive member), so above the cap
+    this pipeline must fail loudly rather than silently under-drop;
+    a components-based variant would tolerate star but has different
+    (transitive) drop semantics than the SQL oracle."""
     import numpy as np
 
     from ..stages import bloom
@@ -1076,8 +1084,14 @@ def q_dedup_clusters(sf_dir: str):
     through the DISTRIBUTED label-propagation loop (labels stay a
     Dataset; the driver sees one scalar per round — verdict #6); the
     recursive-CTE oracle stays valid because verified == exact
-    all-pairs on this corpus (recall 1, see q_dedup_verified)."""
-    pairs = dedup.verified_jaccard_pairs(_docs(sf_dir))
+    all-pairs on this corpus (recall 1, see q_dedup_verified).
+
+    hot_mode="star": components are the consumer, so hot LSH buckets
+    (above dedup.HOT_RUN_CAP) may emit bounded star pairs — identical
+    clusters in the hot-bucket regime (near-identical docs, where
+    J(run_min, member) passes the verify for every member); below the
+    cap emission is full pairwise, so this corpus is bit-unchanged."""
+    pairs = dedup.verified_jaccard_pairs(_docs(sf_dir), hot_mode="star")
     return dedup.connected_components_distributed(pairs)
 
 
@@ -1106,10 +1120,16 @@ def q_dedup_fuzzy_corpus(sf_dir: str):
     → drop every cluster member except the min-id representative via
     the Bloom + co-partitioned exact anti-join (the loser-id set never
     broadcasts). Output = the surviving corpus — what a user actually
-    ships to training."""
+    ships to training.
+
+    hot_mode="star": the pairs feed connected components only, so hot
+    LSH buckets emit bounded star pairs (O(d) rows instead of C(d,2)
+    from a d-doc boilerplate cluster — r4 verdict #1) with unchanged
+    clusters in the hot-bucket regime; below the cap (this corpus)
+    emission is full pairwise and the output is bit-identical."""
     from ..stages import bloom
 
-    pairs = dedup.verified_jaccard_pairs(_docs(sf_dir))
+    pairs = dedup.verified_jaccard_pairs(_docs(sf_dir), hot_mode="star")
     labels = dedup.connected_components_distributed(pairs)
 
     def losers_only(b: pa.Table) -> pa.Table:
@@ -2639,10 +2659,12 @@ def q_bloom_blocklist(sf_dir: str):
     form (r2 verdict #4): ~10 bits/key broadcast once, clean rows pay
     k bit-probes and no shuffle, maybe-rows anti-join the blocklist
     DATASET in a co-partitioned bucket groupby — no exact set is ever
-    broadcast. The filter sits UPSTREAM of extraction (where a
-    blocklist belongs: its two source scans are cheap; extraction runs
-    once, on survivors only). Result identical to the plain anti-join,
-    same oracle shape as `blocklist_filter`."""
+    broadcast. ONE-PASS shape (r4 verdict #3): a single probe pass tags
+    every row — the page stream is generated/scanned ONCE instead of
+    once per branch — clean rows ride the groupby in passthrough
+    buckets, maybe rows anti-join the blocklist in theirs. Result
+    identical to the plain anti-join, same oracle shape as
+    `blocklist_filter`."""
     import ray
 
     from ..stages import bloom
@@ -2663,7 +2685,7 @@ def q_bloom_blocklist(sf_dir: str):
         host_col, batch_format="pyarrow"
     )
     kept_pages = bloom.bloom_blocklist_filter_ds(
-        pages, blocked_ds, key_col="host", n_expected=5
+        pages, blocked_ds, key_col="host", n_expected=5, one_pass=True
     )
     ext = extract_pages(kept_pages, mode="text")
 
@@ -3330,69 +3352,27 @@ FROM marked GROUP BY doc_id
 # code is untouched this round; the per-query evidence mapping is
 # written out in BASELINE.md.
 QUERIES = {
-    # --- (a) never driver-checked through round 3 -------------------
-    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
-    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
-    "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
-    "mix_sample": (q_mix_sample, SQL_MIX_SAMPLE),
-    "semantic_dedup_grid": (q_semantic_dedup_grid, SQL_SEMANTIC_DEDUP_GRID),
-    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
-    "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
-    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
-    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
-    "token_rank": (q_token_rank, SQL_TOKEN_RANK),
-    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    "bloom_blocklist": (q_bloom_blocklist, SQL_BLOOM_BLOCKLIST),
-    "top_tokens_bounded": (q_top_tokens_bounded, SQL_TOP_TOKENS),
-    "pipeline_hygiene": (q_pipeline_hygiene, SQL_PIPELINE_HYGIENE),
-    "pipeline_pack_train": (q_pipeline_pack_train, SQL_PIPELINE_PACK_TRAIN),
-    "pipeline_pretrain": (q_pipeline_pretrain, SQL_PIPELINE_PRETRAIN),
-    "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
-    "repetition_stats": (q_repetition, SQL_REPETITION),
-    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
-    "host_cap": (q_host_cap, SQL_HOST_CAP),
-    "chunk_stride": (q_chunk_stride, SQL_CHUNK_STRIDE),
-    "distinct_tokens_exact": (
-        q_distinct_tokens_exact, SQL_DISTINCT_TOKENS_EXACT
-    ),
-    "knn_ivf_exact": (q_knn_ivf_exact, SQL_KNN_COSINE),
-    "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
-    "semantic_dedup": (q_semantic_dedup, None),  # rows-only by design
-    # --- (b) SQL added after their last (r01 rows-only) check -------
-    "langid": (q_langid, SQL_LANGID),
-    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
-    "neardup_cosine": (q_neardup_cosine, SQL_NEARDUP_COSINE),
-    # --- (c) last driver-checked in r01/r02 -------------------------
-    "url_canon": (q_url_canon, SQL_URL_CANON),
-    "events_preceding": (q_events_preceding, SQL_EVENTS_PRECEDING),
-    "image_meta": (q_image_meta, SQL_IMAGE_META),
-    "audio_meta": (q_audio_meta, SQL_AUDIO_META),
-    "common_tokens": (q_common_tokens, SQL_COMMON_TOKENS),
-    "pdf_text": (q_pdf_text, SQL_PDF_TEXT),
-    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
-    "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
-    # rows-only sketches (non-SQL hashes; each pinned behaviorally in
-    # tests/test_rowsonly_validation.py with an exact-checked sibling)
-    "dedup_minhash": (q_dedup_minhash, None),
-    "distinct_tokens_sketch": (q_distinct_tokens, None),
-    "dedup_simhash": (q_dedup_simhash, None),
-    "simhash_pairs": (q_simhash_pairs, None),
-    "knn_ivf": (q_knn_ivf, None),
-    # --- (d) r03-green but code changes in round 4 ------------------
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
+    # ============ positions 1-50: the round-5 driver window =========
+    # --- (a) code paths CHANGED in round 5 (rotation discipline: the
+    # hot-bucket star/cap emission in dedup._bucket_pairs +
+    # simhash_candidate_pairs + similarity.cosine_neardup_pairs_lsh,
+    # the verified_jaccard_pairs prefilter reorder + saturation guard,
+    # and the bloom.py null-handling / one-pass filter rework) --------
     "dedup_verified": (q_dedup_verified, SQL_DEDUP_VERIFIED),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_fuzzy_corpus": (q_dedup_fuzzy_corpus, SQL_DEDUP_FUZZY_CORPUS),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_incremental_fuzzy": (
         q_dedup_incremental_fuzzy, SQL_DEDUP_INCREMENTAL_FUZZY
     ),
-    "repeated_substrings": (q_repeated_substrings, SQL_REPEATED_SUBSTRINGS),
-    "repeated_substrings_bucketed": (
-        q_repeated_substrings_bucketed, SQL_REPEATED_SUBSTRINGS
-    ),
-    "substring_clean": (q_substring_clean, SQL_SUBSTRING_CLEAN),
-    # ------- position 51+ : r03-green, code untouched this round ----
+    "bloom_blocklist": (q_bloom_blocklist, SQL_BLOOM_BLOCKLIST),
+    "neardup_cosine": (q_neardup_cosine, SQL_NEARDUP_COSINE),
+    # rows-only candidate forms whose emission code changed (each has
+    # an exact-checked sibling above; star/cap behavior pinned in
+    # tests/test_hot_buckets.py)
+    "dedup_minhash": (q_dedup_minhash, None),
+    "simhash_pairs": (q_simhash_pairs, None),
+    # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
     "extract_links": (q_extract_links, SQL_EXTRACT_LINKS),
@@ -3416,7 +3396,6 @@ QUERIES = {
     "dedup_url_latest": (q_dedup_url_latest, SQL_DEDUP_URL_LATEST),
     "lang_counts": (q_lang_counts, SQL_LANG_COUNTS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "orders_enriched": (q_orders_enriched, SQL_ORDERS_ENRICHED),
     "orders_hash_join": (q_orders_hash_join, SQL_ORDERS_HASH_JOIN),
     "orders_native_join": (q_orders_native_join, SQL_ORDERS_NATIVE_JOIN),
@@ -3434,4 +3413,54 @@ QUERIES = {
     "dedup_paragraphs": (q_dedup_paragraphs, SQL_DEDUP_PARAGRAPHS),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    # --- (c) one high-value composed-chain re-check (r04-green) -----
+    "pipeline_pretrain": (q_pipeline_pretrain, SQL_PIPELINE_PRETRAIN),
+    # ===== position 51+ : r04-green, code untouched in round 5 ======
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
+    "c4_clean": (q_c4_clean, SQL_C4_CLEAN),
+    "mix_sample": (q_mix_sample, SQL_MIX_SAMPLE),
+    "semantic_dedup_grid": (q_semantic_dedup_grid, SQL_SEMANTIC_DEDUP_GRID),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
+    "token_rank": (q_token_rank, SQL_TOKEN_RANK),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "top_tokens_bounded": (q_top_tokens_bounded, SQL_TOP_TOKENS),
+    "pipeline_hygiene": (q_pipeline_hygiene, SQL_PIPELINE_HYGIENE),
+    "pipeline_pack_train": (q_pipeline_pack_train, SQL_PIPELINE_PACK_TRAIN),
+    "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
+    "repetition_stats": (q_repetition, SQL_REPETITION),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "host_cap": (q_host_cap, SQL_HOST_CAP),
+    "chunk_stride": (q_chunk_stride, SQL_CHUNK_STRIDE),
+    "distinct_tokens_exact": (
+        q_distinct_tokens_exact, SQL_DISTINCT_TOKENS_EXACT
+    ),
+    "knn_ivf_exact": (q_knn_ivf_exact, SQL_KNN_COSINE),
+    "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
+    "semantic_dedup": (q_semantic_dedup, None),  # rows-only by design
+    "langid": (q_langid, SQL_LANGID),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "url_canon": (q_url_canon, SQL_URL_CANON),
+    "events_preceding": (q_events_preceding, SQL_EVENTS_PRECEDING),
+    "image_meta": (q_image_meta, SQL_IMAGE_META),
+    "audio_meta": (q_audio_meta, SQL_AUDIO_META),
+    "common_tokens": (q_common_tokens, SQL_COMMON_TOKENS),
+    "pdf_text": (q_pdf_text, SQL_PDF_TEXT),
+    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
+    "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
+    # rows-only sketches (non-SQL hashes; each pinned behaviorally in
+    # tests/test_rowsonly_validation.py with an exact-checked sibling)
+    "distinct_tokens_sketch": (q_distinct_tokens, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "knn_ivf": (q_knn_ivf, None),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
+    "repeated_substrings": (q_repeated_substrings, SQL_REPEATED_SUBSTRINGS),
+    "repeated_substrings_bucketed": (
+        q_repeated_substrings_bucketed, SQL_REPEATED_SUBSTRINGS
+    ),
+    "substring_clean": (q_substring_clean, SQL_SUBSTRING_CLEAN),
 }

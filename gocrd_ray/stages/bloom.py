@@ -78,11 +78,22 @@ def _hash2(keys) -> tuple[np.ndarray, np.ndarray]:
         # integer keys in an OBJECT container (e.g. np.asarray(list,
         # dtype=object)) must hash exactly like the native int64 fast
         # path, or a filter built from one container silently never
-        # matches probes from the other
+        # matches probes from the other. A failed cast (None / mixed
+        # types / out-of-range mixed into an integer container) must be
+        # LOUD, not a silent fall-through to the generic pandas hash: a
+        # homogeneous int64 probe column can never reproduce those
+        # generic-path hashes, so the filter would silently answer
+        # "definitely clean" for every blocked key (r4 ADVICE, high).
         try:
             return _hash2(arr.astype(np.int64))
         except (TypeError, ValueError, OverflowError):
-            pass  # mixed types / None / out-of-range -> generic path
+            raise TypeError(
+                "_hash2: integer keys in an object container failed the "
+                "int64 cast (None or non-int values mixed in?) — such an "
+                "array cannot reproduce the int64 fast-path hashes a "
+                "typed column on the other side of the filter uses; "
+                "drop nulls / normalize the container before hashing"
+            ) from None
     h1 = pd.util.hash_array(arr, categorize=False).astype(np.uint64)
     h2 = pd.util.hash_array(
         arr, categorize=False, hash_key="gocrd_bloom_h2_k"
@@ -201,7 +212,11 @@ def shard_partials(ds, *, key_col: str, n_expected: int, fpr: float = 0.01,
     ms = m // n_shards
 
     def route(b: pa.Table) -> pa.Table:
-        col = b.column(key_col)
+        # drop_null BEFORE to_numpy, mirroring the probe side: a
+        # null-bearing int64 column coerces to float64 (loud TypeError
+        # in _hash2), and null blocklist keys can never match a
+        # non-null probed key anyway (r4 ADVICE, low)
+        col = b.column(key_col).drop_null()
         keys = col.to_numpy(zero_copy_only=False)
         if len(keys) == 0:
             return pa.table({
@@ -322,8 +337,9 @@ def build_from_dataset(ds, *, key_col: str, n_expected: int,
         for blk in ds.select_columns([key_col]).iter_batches(
             batch_format="pyarrow"
         ):
-            if blk.num_rows:
-                bl.add(blk.column(key_col).to_numpy(zero_copy_only=False))
+            col = blk.column(key_col).drop_null()  # nulls never blocked
+            if len(col):
+                bl.add(col.to_numpy(zero_copy_only=False))
         return bl
     partials, (m, k, n_shards) = shard_partials(
         ds, key_col=key_col, n_expected=n_expected, fpr=fpr,
@@ -399,7 +415,9 @@ class BloomBlocklistFilter:
 def bloom_blocklist_filter_ds(ds, blocked_ds, *, key_col: str,
                               blocked_col: str | None = None,
                               n_expected: int | None = None,
-                              fpr: float = 0.01, n_buckets: int = 32):
+                              fpr: float = 0.01, n_buckets: int = 32,
+                              one_pass: bool = False,
+                              n_clean_buckets: int = 512):
     """Drop rows whose ``key_col`` appears in ``blocked_ds`` (a Dataset
     of blocked keys), EXACTLY, with worker memory bounded by the Bloom
     BITS alone — the 10^9-key scale path (r2 verdict #4): no
@@ -408,18 +426,30 @@ def bloom_blocklist_filter_ds(ds, blocked_ds, *, key_col: str,
     Shape: (1) the Bloom filter is built distributed from the blocklist
     dataset (mergeable partial bit arrays) and its bits broadcast once;
     (2) rows the Bloom clears ("definitely clean" — no false negatives)
-    pass straight through, paying k bit-probes and ZERO shuffle;
-    (3) only maybe-rows (true hits + fpr·clean) ride a co-partitioned
-    bucket groupby against the blocklist keys and are dropped exactly
-    via vectorized ``index_in`` (anti-join) — the blocklist shuffles as
-    narrow key rows, never as a Python set. Result ≡ the plain
-    anti-join.
+    skip the exact check; (3) only maybe-rows (true hits + fpr·clean)
+    are anti-joined against the blocklist keys in a co-partitioned
+    bucket groupby, dropped exactly via vectorized ``index_in`` — the
+    blocklist shuffles as narrow key rows, never as a Python set.
+    Result ≡ the plain anti-join. Null keys are never blocked (kept,
+    like the anti-join oracle).
 
-    Cost note: the clean and maybe branches both read the input (Ray
-    Datasets are lazy; two consumers = two scans), so place this filter
-    directly on the cheap source scan — upstream of extraction, where a
-    blocklist belongs anyway — not downstream of expensive stages.
-    Null keys are never blocked (kept, like the anti-join oracle).
+    TWO EXECUTION SHAPES — pick by what sits upstream (r4 verdict #3):
+
+    - ``one_pass=False`` (default): clean and maybe rows are separate
+      lazy consumers of ``ds`` — the input is SCANNED TWICE, but clean
+      rows (the overwhelming majority) ride ZERO shuffle. The right
+      trade when the filter sits directly on a cheap, column-pruned
+      source scan — upstream of extraction, where a blocklist belongs.
+    - ``one_pass=True``: ONE probe pass tags every row; clean rows get
+      a bucket id in a disjoint range ([n_buckets, n_buckets +
+      n_clean_buckets), spread round-robin so no group is hot) and
+      pass through their groupby group UNTOUCHED, while maybe rows
+      share buckets with the blocklist keys and anti-join there. The
+      input is scanned ONCE (one read in the executor plan) but every
+      row rides the one all-to-all. The right trade when ``ds`` is the
+      output of expensive upstream compute that must not re-run — the
+      exchange costs less than recomputing the stage. Size
+      ``n_clean_buckets`` so corpus/n_clean_buckets fits one task.
     """
     import pandas as pd
     import ray
@@ -433,7 +463,7 @@ def bloom_blocklist_filter_ds(ds, blocked_ds, *, key_col: str,
     m, k, shards = bloom.m, bloom.k, bloom.shards
     bits_ref = ray.put(bloom.bits)
 
-    def probe(b: pa.Table, keep_maybe: bool) -> pa.Table:
+    def _probe_mask(b: pa.Table) -> np.ndarray:
         # zero-copy ndarray view of the broadcast bits; probe ONLY the
         # valid values in their NATIVE dtype — a mixed object array
         # (ints + "" null sentinel) would silently fall off the int64
@@ -445,14 +475,11 @@ def bloom_blocklist_filter_ds(ds, blocked_ds, *, key_col: str,
         if valid.any():
             vals = col.drop_null().to_numpy(zero_copy_only=False)
             maybe[valid] = bl.contains(vals)
-        return b.filter(pa.array(maybe if keep_maybe else ~maybe))
+        return maybe
 
-    clean = ds.map_batches(
-        lambda b: probe(b, False), batch_format="pyarrow"
-    )
-    maybe = ds.map_batches(
-        lambda b: probe(b, True), batch_format="pyarrow"
-    )
+    def probe(b: pa.Table, keep_maybe: bool) -> pa.Table:
+        maybe = _probe_mask(b)
+        return b.filter(pa.array(maybe if keep_maybe else ~maybe))
 
     # co-partitioned exact verify: union(maybe rows, blocklist keys)
     # bucketed by hash(key); per bucket a vectorized anti-join
@@ -497,6 +524,27 @@ def bloom_blocklist_filter_ds(ds, blocked_ds, *, key_col: str,
         )
         return _aligned(b)
 
+    def tag_all_rows(b: pa.Table) -> pa.Table:
+        # one-pass probe+tag: maybe rows get their key's verify bucket;
+        # clean rows get a round-robin bucket in the disjoint
+        # passthrough range (round-robin, not hash-of-key, so one hot
+        # host can't pile a corpus into one group)
+        maybe = _probe_mask(b)
+        ks = _key_strs(b.column(key_col))
+        bucket = (
+            np.arange(len(b), dtype=np.int64) % n_clean_buckets + n_buckets
+        ).astype(np.int32)
+        if maybe.any():
+            bucket[maybe] = _bucket_of(
+                np.asarray(ks, dtype=object)[maybe]
+            )
+        b = b.append_column("__bkey", ks)
+        b = b.append_column(
+            "__is_block", pa.array(np.zeros(len(b), np.int8))
+        )
+        b = b.append_column("__bucket", pa.array(bucket))
+        return _aligned(b)
+
     def tag_block(b: pa.Table) -> pa.Table:
         ks = _key_strs(b.column(blocked_col))
         t = pa.table(
@@ -510,11 +558,10 @@ def bloom_blocklist_filter_ds(ds, blocked_ds, *, key_col: str,
         )
         return _aligned(t)
 
-    both = maybe.map_batches(tag_rows, batch_format="pyarrow").union(
-        blocked_ds.map_batches(tag_block, batch_format="pyarrow")
-    )
-
     def per_bucket(group: pa.Table) -> pa.Table:
+        if len(group) and group.column("__bucket")[0].as_py() >= n_buckets:
+            # clean passthrough group (one-pass shape only)
+            return group.drop_columns(["__bkey", "__is_block", "__bucket"])
         is_block = pc.equal(group.column("__is_block"), 1)
         brows = group.filter(is_block)
         rows = group.filter(pc.invert(is_block))
@@ -527,6 +574,23 @@ def bloom_blocklist_filter_ds(ds, blocked_ds, *, key_col: str,
         out = rows.drop_columns(["__bkey", "__is_block", "__bucket"])
         return out
 
+    if one_pass:
+        both = ds.map_batches(tag_all_rows, batch_format="pyarrow").union(
+            blocked_ds.map_batches(tag_block, batch_format="pyarrow")
+        )
+        return both.groupby("__bucket").map_groups(
+            per_bucket, batch_format="pyarrow"
+        )
+
+    clean = ds.map_batches(
+        lambda b: probe(b, False), batch_format="pyarrow"
+    )
+    maybe = ds.map_batches(
+        lambda b: probe(b, True), batch_format="pyarrow"
+    )
+    both = maybe.map_batches(tag_rows, batch_format="pyarrow").union(
+        blocked_ds.map_batches(tag_block, batch_format="pyarrow")
+    )
     survivors = both.groupby("__bucket").map_groups(
         per_bucket, batch_format="pyarrow"
     )
@@ -546,7 +610,10 @@ def bloom_blocklist_filter(ds, blocked, *, key_col: str, fpr: float = 0.01,
     """
     import ray
 
-    blocked = list(blocked)
+    # None keys are never probed (the probe drops nulls), so strip them
+    # from the build: left in, an otherwise-int blocklist would fail
+    # _hash2's int64 cast loudly (r4 ADVICE, high)
+    blocked = [x for x in blocked if x is not None]
     m, k = params_for(len(blocked), fpr)
     bl = Bloom(m, k)
     bl.add(np.asarray(blocked, dtype=object))

@@ -413,8 +413,16 @@ class MinHasher:
         )
 
 
+#: Runs (equal-key bucket collisions) longer than this switch from full
+#: pairwise emission to the bounded ``hot_mode`` behavior. 1024 keeps the
+#: worst per-run pairwise cost at ~0.5M rows while being far above any
+#: bucket a healthy LSH parameterization produces on non-degenerate data.
+HOT_RUN_CAP = 1024
+
+
 def _bucket_pairs(buckets_ds, *, band_col: str, key_col: str, id_col: str,
-                  n_groups: int = 256):
+                  n_groups: int = 256, hot_run_cap: int = HOT_RUN_CAP,
+                  hot_mode: str = "star"):
     """(band, key, id) bucket rows → (id_a, id_b, n) candidate pairs,
     n = number of buckets the pair shares.
 
@@ -422,10 +430,33 @@ def _bucket_pairs(buckets_ds, *, band_col: str, key_col: str, id_col: str,
     shuffle groups (NOT one group per bucket: mostly-singleton buckets
     would cost a Python map_groups callback each — measured 160k
     callbacks at sf0.1). Inside a group everything is vectorized: one
-    lexsort, run detection on the combined bucket key, and a Python
-    loop only over the rare runs that actually collide (the near-dup
-    candidates themselves).
+    lexsort, run detection on the combined bucket key, and per-run
+    ``np.triu_indices`` emission only for runs that actually collide
+    (the near-dup candidates themselves).
+
+    HOT BUCKETS (r4 verdict #1 — the last scale-killer): a real crawl
+    has clusters of d near-identical boilerplate pages whose band keys
+    all collide; full pairwise emission is C(d,2) rows PER BAND from
+    one logical bucket (d=10⁶ → ~10¹² pair rows — one task OOMs).
+    Runs longer than ``hot_run_cap`` therefore switch to ``hot_mode``:
+
+    - ``"star"`` (default): emit (run_min, other) — O(d) rows. Every
+      run member stays connected to the run minimum, so CONNECTED
+      COMPONENTS over the candidates (the dedup contract:
+      dedup_fuzzy_corpus / dedup_clusters) are unchanged whenever
+      intra-run similarity is transitive at the verify threshold —
+      which is exactly the hot-bucket regime (d near-identical docs).
+      Consumers that need the full pairs LIST above the cap must not
+      use star.
+    - ``"error"``: raise loudly (the heavyhitters.py discipline) — for
+      consumers whose contract is the exact pairs list
+      (verified_jaccard_pairs' oracle form): a silent star subset
+      would be a wrong answer, an OOM a mystery; a ValueError names
+      the fix (raise the cap, or accept star semantics).
+    - ``"pairwise"``: unbounded legacy emission — test/oracle use only.
     """
+    if hot_mode not in ("star", "error", "pairwise"):
+        raise ValueError(f"_bucket_pairs: unknown hot_mode {hot_mode!r}")
 
     def add_shard(b: pa.Table) -> pa.Table:
         band = b.column(band_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -457,14 +488,33 @@ def _bucket_pairs(buckets_ds, *, band_col: str, key_col: str, id_col: str,
         new[1:] = c[1:] != c[:-1]
         starts = np.flatnonzero(new)
         lengths = np.diff(np.append(starts, len(c)))
-        a_out: list = []
-        b_out: list = []
+        a_parts: list = []
+        b_parts: list = []
         for s, ln in zip(starts[lengths > 1], lengths[lengths > 1]):
-            members = i[s : s + ln]
-            for x in range(ln):
-                for y in range(x + 1, ln):
-                    a_out.append(members[x])
-                    b_out.append(members[y])
+            members = i[s : s + ln]  # ascending (lexsort secondary key)
+            if ln > hot_run_cap and hot_mode != "pairwise":
+                if hot_mode == "error":
+                    raise ValueError(
+                        f"_bucket_pairs: hot bucket of {ln} colliding ids "
+                        f"exceeds hot_run_cap={hot_run_cap}; full pairwise "
+                        f"emission would be {ln * (ln - 1) // 2} rows from "
+                        "ONE bucket. Raise hot_run_cap if that volume is "
+                        "intended, or use hot_mode='star' (cluster-"
+                        "preserving bounded emission) for dedup consumers."
+                    )
+                # star: each member vs the run minimum — O(ln) rows
+                a_parts.append(np.full(ln - 1, members[0], dtype=np.int64))
+                b_parts.append(members[1:])
+            else:
+                xi, yi = np.triu_indices(int(ln), k=1)
+                a_parts.append(members[xi])
+                b_parts.append(members[yi])
+        a_out = (
+            np.concatenate(a_parts) if a_parts else np.zeros(0, np.int64)
+        )
+        b_out = (
+            np.concatenate(b_parts) if b_parts else np.zeros(0, np.int64)
+        )
         return pa.table(
             {
                 "id_a": pa.array(a_out, pa.int64()),
@@ -480,12 +530,17 @@ def _bucket_pairs(buckets_ds, *, band_col: str, key_col: str, id_col: str,
 
 def lsh_raw_band_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
                        id_col: str = "doc_id", shard: int | None = None,
-                       n_shards: int = 1):
+                       n_shards: int = 1, hot_run_cap: int = HOT_RUN_CAP,
+                       hot_mode: str = "star"):
     """Raw per-band LSH collisions: (id_a, id_b, n=1) with one row per
     band in which the pair collided — i.e. ``lsh_candidate_pairs``
     WITHOUT the distinct groupby. Consumers that tolerate duplicate
     pairs (``attach_pair_lookup`` dedups them in its regroup) feed on
     this directly and save a whole all-to-all.
+
+    ``hot_run_cap`` / ``hot_mode``: bounded emission for hot buckets
+    (see ``_bucket_pairs``) — runs above the cap emit star pairs
+    (default, cluster-preserving) or raise (pairs-list consumers).
     """
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
@@ -550,21 +605,26 @@ def lsh_raw_band_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
         buckets = buckets.map_batches(only_shard, batch_format="pyarrow")
 
     return _bucket_pairs(buckets, band_col="band", key_col="bkey",
-                         id_col=id_col)
+                         id_col=id_col, hot_run_cap=hot_run_cap,
+                         hot_mode=hot_mode)
 
 
 def lsh_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
                         id_col: str = "doc_id", shard: int | None = None,
-                        n_shards: int = 1):
+                        n_shards: int = 1, hot_run_cap: int = HOT_RUN_CAP,
+                        hot_mode: str = "star"):
     """MinHash+LSH candidate pairs: shingle → signature → band-bucket
     groupby → within-bucket pairs (SURVEY-plus operator; no reference
     analog — [scale]).
 
     Returns a Dataset of (id_a, id_b, n_buckets) with id_a < id_b;
     n_buckets = number of bands in which the pair collided (≥1).
+    Hot buckets above ``hot_run_cap`` follow ``hot_mode`` (star pairs
+    by default — see ``_bucket_pairs``).
     """
     pairs = lsh_raw_band_pairs(ds, num_perm=num_perm, bands=bands, k=k,
-                               id_col=id_col, shard=shard, n_shards=n_shards)
+                               id_col=id_col, shard=shard, n_shards=n_shards,
+                               hot_run_cap=hot_run_cap, hot_mode=hot_mode)
     # collapse duplicate pairs across bands
     agg = pairs.groupby(["id_a", "id_b"]).sum("n")
 
@@ -576,7 +636,9 @@ def lsh_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
 
 def lsh_candidate_pairs_merged(ds, *, n_shards: int = 4, num_perm: int = 64,
                                bands: int = 16, k: int = 3,
-                               id_col: str = "doc_id"):
+                               id_col: str = "doc_id",
+                               hot_run_cap: int = HOT_RUN_CAP,
+                               hot_mode: str = "star"):
     """Hierarchical LSH (ROADMAP item 3 — the 10^12-doc job shape): run
     each bucket-key shard as an INDEPENDENT sub-job and merge by
     summing band multiplicities per pair.
@@ -601,7 +663,8 @@ def lsh_candidate_pairs_merged(ds, *, n_shards: int = 4, num_perm: int = 64,
     parts = [
         lsh_candidate_pairs(
             ds, num_perm=num_perm, bands=bands, k=k, id_col=id_col,
-            shard=s, n_shards=n_shards,
+            shard=s, n_shards=n_shards, hot_run_cap=hot_run_cap,
+            hot_mode=hot_mode,
         ).materialize()
         for s in range(n_shards)
     ]
@@ -1145,7 +1208,10 @@ def _attach_sets(pairs_ds, sets_ds, *, key_col: str, out_col: str,
 def verified_jaccard_pairs(ds, *, k: int = 3, num_perm: int = 64,
                            bands: int = 32, id_col: str = "doc_id",
                            n_buckets: int = 32, candidates=None,
-                           prefilter: bool = True):
+                           prefilter: bool = True,
+                           hot_run_cap: int = HOT_RUN_CAP,
+                           hot_mode: str = "error",
+                           saturation_warn_factor: float = 256.0):
     """The scale path for near-dup dedup: LSH candidate pairs verified
     with EXACT shingle Jaccard — same output contract as
     ``ngram_jaccard_pairs`` (id_a, id_b, inter, uni with
@@ -1169,6 +1235,16 @@ def verified_jaccard_pairs(ds, *, k: int = 3, num_perm: int = 64,
     whose true dups are high-J (any realistic near-dup corpus) the
     output is bit-equal to ``ngram_jaccard_pairs`` / the SQL oracle;
     otherwise it is the documented recall-bounded subset.
+
+    ``hot_mode`` defaults to ``"error"`` here — this operator's
+    contract is the exact pairs LIST, which star emission would
+    silently subset above the cap (see ``_bucket_pairs``); cluster
+    consumers (fuzzy-corpus dedup, components) pass ``"star"``.
+    ``saturation_warn_factor``: after the candidate table materializes,
+    a RuntimeWarning fires when its row count exceeds this multiple of
+    the (HLL-estimated) distinct candidate ids — saturated LSH (bands
+    too easy for the corpus) balloons the object store quietly
+    otherwise (r4 verdict #5).
     """
     if candidates is None:
         # raw per-band collisions — duplicate pairs are fine (the
@@ -1177,21 +1253,59 @@ def verified_jaccard_pairs(ds, *, k: int = 3, num_perm: int = 64,
         # (the prefilter sizes its Bloom on an HLL distinct-id estimate,
         # so the duplicate rows don't inflate the broadcast bits)
         candidates = lsh_raw_band_pairs(
-            ds, num_perm=num_perm, bands=bands, k=k, id_col=id_col
+            ds, num_perm=num_perm, bands=bands, k=k, id_col=id_col,
+            hot_run_cap=hot_run_cap, hot_mode=hot_mode,
         )
 
     def drop_n(b: pa.Table) -> pa.Table:
         return b.select(["id_a", "id_b"])
 
     cand = candidates.map_batches(drop_n, batch_format="pyarrow").materialize()
-    sets = shingle_sets(ds, k=k, id_col=id_col)
 
+    n_cand = cand.count()
+    if n_cand >= 4096:
+        # saturation guard: with star capping the candidate table is
+        # bounded, but a mis-parameterized LSH (bands matching random
+        # docs) still multiplies rows per id. One narrow HLL pass over
+        # the (already materialized) candidate table, one ratio check.
+        from .sketch import approx_distinct
+
+        est_ids = max(1, approx_distinct(
+            cand,
+            lambda b: pc.cast(
+                pa.concat_arrays([
+                    pc.cast(b.column("id_a"), pa.int64()).combine_chunks(),
+                    pc.cast(b.column("id_b"), pa.int64()).combine_chunks(),
+                ]),
+                pa.string(),
+            ).to_pylist(),
+        ))
+        if n_cand > saturation_warn_factor * est_ids:
+            import warnings
+
+            warnings.warn(
+                f"verified_jaccard_pairs: candidate table has {n_cand} "
+                f"rows for ~{est_ids} distinct ids "
+                f"(> {saturation_warn_factor:g}x) — LSH looks SATURATED "
+                "(bands collide on non-duplicates). Expect quadratic "
+                "verify cost; raise rows-per-band (num_perm/bands) or "
+                "lower bands for this corpus.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
+    src = ds
     if prefilter:
         # bounded Bloom prefilter over the candidate-id DATASET — no
         # driver-side set, no sorted-ndarray broadcast (r3 verdict #2);
         # false positives are unreferenced sets that match no pair in
-        # the attach and drop out, so the output stays exact
-        sets = bloom_id_prefilter(sets, cand, id_col=id_col)
+        # the attach and drop out, so the output stays exact. The probe
+        # runs BEFORE shingling (they fuse into one map stage), so the
+        # shingle build — the chain's widest per-row compute — runs on
+        # the candidate-id survivors only, not the whole corpus
+        # (r4 verdict #6).
+        src = bloom_id_prefilter(ds, cand, id_col=id_col)
+    sets = shingle_sets(src, k=k, id_col=id_col)
 
     # one exploded-pair shuffle attaches BOTH sides' shingle sets —
     # the set table rides a single exchange (r2 verdict #3). With the
@@ -1279,7 +1393,9 @@ def verified_jaccard_pairs(ds, *, k: int = 3, num_perm: int = 64,
 
 
 def simhash_candidate_pairs(ds, id_col: str = "doc_id", n_rotations: int = 4,
-                            max_hamming: int = 3):
+                            max_hamming: int = 3,
+                            hot_run_cap: int = HOT_RUN_CAP,
+                            hot_mode: str = "star"):
     """SimHash near-dup candidates: bucket by 16-bit prefixes of several
     bit-rotations of the 64-bit simhash (near-dups with <= ~3 differing
     bits collide in at least one rotated prefix with high probability),
@@ -1287,7 +1403,17 @@ def simhash_candidate_pairs(ds, id_col: str = "doc_id", n_rotations: int = 4,
 
     Shuffle moves only (rotation, prefix, id, simhash) rows. Returns
     (id_a, id_b, hamming) distinct pairs with hamming <= max_hamming.
+
+    Hot prefix buckets (d identical docs → identical simhash → same
+    prefix in EVERY rotation → C(d,2)·rotations pair rows) follow the
+    same bounded-emission rule as ``_bucket_pairs``: runs above
+    ``hot_run_cap`` emit star pairs vs the run minimum (hamming still
+    verified exactly per emitted pair) or raise under ``"error"``.
     """
+    if hot_mode not in ("star", "error", "pairwise"):
+        raise ValueError(
+            f"simhash_candidate_pairs: unknown hot_mode {hot_mode!r}"
+        )
     import pyarrow as pa
 
     sigs = ds.map_batches(simhash_batch, fn_kwargs={"id_col": id_col},
@@ -1364,20 +1490,34 @@ def simhash_candidate_pairs(ds, id_col: str = "doc_id", n_rotations: int = 4,
         starts = np.flatnonzero(new)
         lengths = np.diff(np.append(starts, len(c)))
         a_out, b_out, h_out = [], [], []
+
+        def emit(xa: int, xb: int, sa: int, sb: int) -> None:
+            h = int(bin((sa ^ sb) & 0xFFFFFFFFFFFFFFFF).count("1"))
+            if h <= max_hamming:
+                a_out.append(xa)
+                b_out.append(xb)
+                h_out.append(h)
+
         for st, ln in zip(starts[lengths > 1], lengths[lengths > 1]):
             mi, ms = i[st : st + ln], s[st : st + ln]
+            if ln > hot_run_cap and hot_mode != "pairwise":
+                if hot_mode == "error":
+                    raise ValueError(
+                        f"simhash_candidate_pairs: hot prefix bucket of "
+                        f"{ln} ids exceeds hot_run_cap={hot_run_cap}; "
+                        "raise the cap or use hot_mode='star'"
+                    )
+                m0, s0 = int(mi[0]), int(ms[0])
+                for x in range(1, ln):
+                    if mi[x] == m0:
+                        continue
+                    emit(m0, int(mi[x]), s0, int(ms[x]))
+                continue
             for x in range(ln):
                 for y in range(x + 1, ln):
                     if mi[x] == mi[y]:
                         continue
-                    h = int(
-                        bin((int(ms[x]) ^ int(ms[y])) & 0xFFFFFFFFFFFFFFFF)
-                        .count("1")
-                    )
-                    if h <= max_hamming:
-                        a_out.append(mi[x])
-                        b_out.append(mi[y])
-                        h_out.append(h)
+                    emit(int(mi[x]), int(mi[y]), int(ms[x]), int(ms[y]))
         return pa.table(
             {
                 "id_a": pa.array(a_out, pa.int64()),

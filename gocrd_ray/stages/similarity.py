@@ -232,6 +232,8 @@ def cosine_neardup_pairs_lsh(
     seed: int = 23,
     n_buckets: int = 32,
     prefilter: bool = True,
+    hot_run_cap: int | None = None,
+    hot_mode: str = "error",
 ):
     """Scale path for embedding near-dup: random-hyperplane LSH buckets
     → distinct candidate pairs → EXACT cosine verification via
@@ -262,7 +264,16 @@ def cosine_neardup_pairs_lsh(
     import ray
     import pyarrow.compute as pc
 
-    from .dedup import _bucket_pairs, attach_pair_lookup
+    from .dedup import HOT_RUN_CAP, _bucket_pairs, attach_pair_lookup
+
+    # hot-bucket discipline (r4 verdict #1): d identical embeddings
+    # collide in EVERY band → C(d,2)·bands pair rows from one logical
+    # bucket. Default "error" because this operator's contract is the
+    # exact pairs list (the SQL-mirrored neardup_cosine form); dedup
+    # consumers that only need clusters pass hot_mode="star" —
+    # cluster-preserving O(d) emission vs the run minimum.
+    if hot_run_cap is None:
+        hot_run_cap = HOT_RUN_CAP
 
     emb_type = pa.list_(pa.float32())
 
@@ -279,7 +290,8 @@ def cosine_neardup_pairs_lsh(
     # pairs collapse inside attach_pair_lookup's regroup, so the
     # distinct groupby (a whole all-to-all) is skipped
     cand = (
-        _bucket_pairs(sigs, band_col="band", key_col="bkey", id_col=id_col)
+        _bucket_pairs(sigs, band_col="band", key_col="bkey", id_col=id_col,
+                      hot_run_cap=hot_run_cap, hot_mode=hot_mode)
         .map_batches(
             lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
         )
