@@ -1268,18 +1268,42 @@ def verified_jaccard_pairs(ds, *, k: int = 3, num_perm: int = 64,
         # bounded, but a mis-parameterized LSH (bands matching random
         # docs) still multiplies rows per id. One narrow HLL pass over
         # the (already materialized) candidate table, one ratio check.
-        from .sketch import approx_distinct
+        # Adaptive like the Bloom build: below 5M rows the driver
+        # streams the two int64 columns through a vectorized HLL (no
+        # extra Ray job — a fixed ~0.7s barrier a small pair table
+        # should never pay); above, constant-size distributed partials.
+        import pandas as pd
 
-        est_ids = max(1, approx_distinct(
-            cand,
-            lambda b: pc.cast(
-                pa.concat_arrays([
-                    pc.cast(b.column("id_a"), pa.int64()).combine_chunks(),
-                    pc.cast(b.column("id_b"), pa.int64()).combine_chunks(),
-                ]),
-                pa.string(),
-            ).to_pylist(),
-        ))
+        from .sketch import HyperLogLog, approx_distinct
+
+        if n_cand <= 5_000_000:
+            hll = HyperLogLog(12)
+            for blk in cand.iter_batches(batch_format="pyarrow"):
+                if blk.num_rows == 0:
+                    continue
+                ids = np.concatenate([
+                    pc.cast(blk.column("id_a"), pa.int64()).to_numpy(
+                        zero_copy_only=False),
+                    pc.cast(blk.column("id_b"), pa.int64()).to_numpy(
+                        zero_copy_only=False),
+                ])
+                hll.add_hashed(
+                    pd.util.hash_array(ids, categorize=False)
+                )
+            est_ids = max(1, hll.estimate())
+        else:
+            est_ids = max(1, approx_distinct(
+                cand,
+                lambda b: pc.cast(
+                    pa.concat_arrays([
+                        pc.cast(b.column("id_a"), pa.int64())
+                        .combine_chunks(),
+                        pc.cast(b.column("id_b"), pa.int64())
+                        .combine_chunks(),
+                    ]),
+                    pa.string(),
+                ).to_pylist(),
+            ))
         if n_cand > saturation_warn_factor * est_ids:
             import warnings
 

@@ -41,7 +41,15 @@ class HyperLogLog:
     def add(self, values: list[str]) -> "HyperLogLog":
         if not values:
             return self
-        h = self._hash64(values)
+        return self.add_hashed(self._hash64(values))
+
+    def add_hashed(self, h: np.ndarray) -> "HyperLogLog":
+        """Update from PRE-HASHED uniform 64-bit values (vectorized fast
+        path for integer keys: callers hash the native int64 column in
+        one C pass instead of casting to strings row-by-row)."""
+        if len(h) == 0:
+            return self
+        h = np.asarray(h, dtype=np.uint64)
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
         # rank = leading zeros of the remaining 64-p bits, + 1
