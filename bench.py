@@ -99,21 +99,27 @@ def ensure_pages(n_docs: int) -> str:
     """Generate (once) the bench pages table as partitioned Parquet."""
     import pyarrow.parquet as pq
 
+    # one task per file downstream, so make the file count a multiple of
+    # every parallelism level the bench runs at (4/16/32): 150 blocks on
+    # 16 CPUs is 9.4 waves — the final wave idles 10 of 16 CPUs, a pure
+    # quantization tax billed as "fixed overhead" in the scaling ratio
+    blocks = max(32, n_docs // 2000)
+    blocks = -(-blocks // 32) * 32
     path = _pages_path(n_docs)
     marker = f"{path}/_complete"
-    if os.path.exists(marker):
+    stamp = f"{n_docs} {blocks}"
+    if os.path.exists(marker) and open(marker).read().strip() == stamp:
         return path
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
     from gocrd_ray.sources.pages import synthetic_pages
 
-    blocks = max(32, n_docs // 2000)
     synthetic_pages(n_docs, override_num_blocks=blocks).write_parquet(path)
     total = pq.ParquetDataset(path).read(columns=["url"]).num_rows
     assert total == n_docs, (total, n_docs)
     with open(marker, "w") as f:
-        f.write(str(n_docs))
+        f.write(stamp)
     return path
 
 
@@ -133,10 +139,20 @@ def run_headline(n_docs: int) -> dict:
     # warm the worker pool + streaming executor before timing: Ray starts
     # worker processes lazily, and cold-start would otherwise be billed
     # to the first ~NUM_CPUS tasks (a fixed serial cost that distorts the
-    # two-parallelism scaling comparison; a long-lived cluster is warm)
-    ray.data.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8).map_batches(
-        lambda b: b, batch_format="pyarrow"
-    ).count()
+    # two-parallelism scaling comparison; a long-lived cluster is warm).
+    # The warmup is a MINIATURE copy of the timed job — same extract
+    # kernel, same parquet write — so worker-side `gocrd_ray` imports
+    # and the write path are warm too, not just the worker processes
+    # (a bare `range` warmup left ~0.5-1s of first-wave import cost
+    # inside the timed run, billed as fixed overhead against the ratio)
+    from gocrd_ray.sources.pages import synthetic_pages
+
+    warm_out = f"{BENCH_DIR}/warm_{NUM_CPUS}"
+    shutil.rmtree(warm_out, ignore_errors=True)
+    extract_pages(
+        synthetic_pages(NUM_CPUS * 32, override_num_blocks=NUM_CPUS),
+        mode="text",
+    ).write_parquet(warm_out)
 
     # best-of-N: this sandbox VM has heavy run-to-run variance (same
     # config measured 7.7s and 12.8s minutes apart); peak throughput is
