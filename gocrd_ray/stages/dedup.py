@@ -1102,7 +1102,8 @@ def attach_pair_lookup(pairs_ds, lookup_ds, *, id_col: str, value_col: str,
 
 
 def bloom_id_prefilter(ds, cand, *, id_col: str, fpr: float = 1e-3,
-                       n_expected: int | None = None):
+                       n_expected: int | None = None,
+                       stats_out: dict | None = None):
     """Keep only rows of ``ds`` whose ``id_col`` PROBABLY appears as
     id_a/id_b in the candidate-pair dataset ``cand`` — the bounded
     replacement for the round-3 driver-set prefilter (r3 verdict #2):
@@ -1156,9 +1157,13 @@ def bloom_id_prefilter(ds, cand, *, id_col: str, fpr: float = 1e-3,
               else np.zeros(0, np.uint64))
         h2 = (np.concatenate([b for _, b in hs]) if hs
               else np.zeros(0, np.uint64))
-        m, k, shards = sharded_params(
-            max(16, len(np.unique(h1))), fpr
-        )
+        n_distinct = int(len(np.unique(h1)))
+        if stats_out is not None:
+            # exact (up to 64-bit hash collisions) distinct-id count —
+            # callers reuse it (saturation guard) instead of paying a
+            # second pass over the candidate table
+            stats_out["distinct_ids"] = n_distinct
+        m, k, shards = sharded_params(max(16, n_distinct), fpr)
         bl = Bloom(m, k, shards=shards)
         bl._add_hashed(h1, h2)
     else:
@@ -1173,6 +1178,8 @@ def bloom_id_prefilter(ds, cand, *, id_col: str, fpr: float = 1e-3,
                 keys,
                 lambda b: pc.cast(b.column("key"), pa.string()).to_pylist(),
             )
+            if stats_out is not None:
+                stats_out["distinct_ids"] = int(est)
             n_expected = max(16, int(1.3 * est))
         bl = build_from_dataset(
             keys, key_col="key", n_expected=n_expected, fpr=fpr
@@ -1263,47 +1270,68 @@ def verified_jaccard_pairs(ds, *, k: int = 3, num_perm: int = 64,
     cand = candidates.map_batches(drop_n, batch_format="pyarrow").materialize()
 
     n_cand = cand.count()
+
+    src = ds
+    prefilter_stats: dict = {}
+    if prefilter:
+        # bounded Bloom prefilter over the candidate-id DATASET — no
+        # driver-side set, no sorted-ndarray broadcast (r3 verdict #2);
+        # false positives are unreferenced sets that match no pair in
+        # the attach and drop out, so the output stays exact. The probe
+        # runs BEFORE shingling (they fuse into one map stage), so the
+        # shingle build — the chain's widest per-row compute — runs on
+        # the candidate-id survivors only, not the whole corpus
+        # (r4 verdict #6). The build's distinct-id count doubles as the
+        # saturation guard's estimate below — one pass, two uses.
+        src = bloom_id_prefilter(
+            ds, cand, id_col=id_col, stats_out=prefilter_stats
+        )
+
     if n_cand >= 4096:
         # saturation guard: with star capping the candidate table is
         # bounded, but a mis-parameterized LSH (bands matching random
-        # docs) still multiplies rows per id. One narrow HLL pass over
-        # the (already materialized) candidate table, one ratio check.
-        # Adaptive like the Bloom build: below 5M rows the driver
-        # streams the two int64 columns through a vectorized HLL (no
-        # extra Ray job — a fixed ~0.7s barrier a small pair table
-        # should never pay); above, constant-size distributed partials.
-        import pandas as pd
+        # docs) still multiplies rows per id. One ratio check against
+        # the distinct-id count — reused from the prefilter build when
+        # it ran (zero extra passes); otherwise adaptive like the Bloom
+        # build: below 5M rows the driver streams the two int64 columns
+        # through a vectorized HLL (no extra Ray job — a fixed ~0.7s
+        # barrier a small pair table should never pay); above,
+        # constant-size distributed partials.
+        est_ids = prefilter_stats.get("distinct_ids")
+        if est_ids is None:
+            import pandas as pd
 
-        from .sketch import HyperLogLog, approx_distinct
+            from .sketch import HyperLogLog, approx_distinct
 
-        if n_cand <= 5_000_000:
-            hll = HyperLogLog(12)
-            for blk in cand.iter_batches(batch_format="pyarrow"):
-                if blk.num_rows == 0:
-                    continue
-                ids = np.concatenate([
-                    pc.cast(blk.column("id_a"), pa.int64()).to_numpy(
-                        zero_copy_only=False),
-                    pc.cast(blk.column("id_b"), pa.int64()).to_numpy(
-                        zero_copy_only=False),
-                ])
-                hll.add_hashed(
-                    pd.util.hash_array(ids, categorize=False)
+            if n_cand <= 5_000_000:
+                hll = HyperLogLog(12)
+                for blk in cand.iter_batches(batch_format="pyarrow"):
+                    if blk.num_rows == 0:
+                        continue
+                    ids = np.concatenate([
+                        pc.cast(blk.column("id_a"), pa.int64()).to_numpy(
+                            zero_copy_only=False),
+                        pc.cast(blk.column("id_b"), pa.int64()).to_numpy(
+                            zero_copy_only=False),
+                    ])
+                    hll.add_hashed(
+                        pd.util.hash_array(ids, categorize=False)
+                    )
+                est_ids = hll.estimate()
+            else:
+                est_ids = approx_distinct(
+                    cand,
+                    lambda b: pc.cast(
+                        pa.concat_arrays([
+                            pc.cast(b.column("id_a"), pa.int64())
+                            .combine_chunks(),
+                            pc.cast(b.column("id_b"), pa.int64())
+                            .combine_chunks(),
+                        ]),
+                        pa.string(),
+                    ).to_pylist(),
                 )
-            est_ids = max(1, hll.estimate())
-        else:
-            est_ids = max(1, approx_distinct(
-                cand,
-                lambda b: pc.cast(
-                    pa.concat_arrays([
-                        pc.cast(b.column("id_a"), pa.int64())
-                        .combine_chunks(),
-                        pc.cast(b.column("id_b"), pa.int64())
-                        .combine_chunks(),
-                    ]),
-                    pa.string(),
-                ).to_pylist(),
-            ))
+        est_ids = max(1, est_ids)
         if n_cand > saturation_warn_factor * est_ids:
             import warnings
 
@@ -1318,17 +1346,6 @@ def verified_jaccard_pairs(ds, *, k: int = 3, num_perm: int = 64,
                 stacklevel=2,
             )
 
-    src = ds
-    if prefilter:
-        # bounded Bloom prefilter over the candidate-id DATASET — no
-        # driver-side set, no sorted-ndarray broadcast (r3 verdict #2);
-        # false positives are unreferenced sets that match no pair in
-        # the attach and drop out, so the output stays exact. The probe
-        # runs BEFORE shingling (they fuse into one map stage), so the
-        # shingle build — the chain's widest per-row compute — runs on
-        # the candidate-id survivors only, not the whole corpus
-        # (r4 verdict #6).
-        src = bloom_id_prefilter(ds, cand, id_col=id_col)
     sets = shingle_sets(src, k=k, id_col=id_col)
 
     # one exploded-pair shuffle attaches BOTH sides' shingle sets —
