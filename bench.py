@@ -159,8 +159,10 @@ def run_headline(n_docs: int) -> dict:
     # the meaningful capability number
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
     wall = float("inf")
+    window = None
     for _ in range(reps):
         shutil.rmtree(out, ignore_errors=True)
+        cpu0 = _cpu_sample()
         t0 = time.perf_counter()
         # one block per input file: keeps read->extract->write fused in a
         # single task (no SplitBlocks barrier / object-store hop);
@@ -172,7 +174,11 @@ def run_headline(n_docs: int) -> dict:
             columns=["url", "warc_ts", "html", "lang"],
         )
         extract_pages(ds, mode="text").write_parquet(out)
-        wall = min(wall, time.perf_counter() - t0)
+        rep_wall = time.perf_counter() - t0
+        if rep_wall < wall:
+            # window of the KEPT (best) rep — the evidence travels with
+            # the number it certifies
+            wall, window = rep_wall, _cpu_window(cpu0, _cpu_sample())
 
     meta = pq.ParquetDataset(out).read(columns=["html_bytes", "error"])
     total_bytes = sum(v.as_py() or 0 for v in meta.column("html_bytes"))
@@ -184,6 +190,7 @@ def run_headline(n_docs: int) -> dict:
         "html_mb": round(total_bytes / 1e6, 1),
         "n_docs": n_docs,
         "n_errors": n_errors,
+        "window": window,
     }
 
 
@@ -243,6 +250,31 @@ def main_single(headline_only: bool = False) -> dict:
     }
 
 
+def _cpu_sample() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
+def _cpu_window(before: list[int], after: list[int]) -> dict:
+    """System-wide CPU shares over [before, after] — hard per-leg
+    evidence of interference, stronger than bracketing control
+    queries (which can miss a mid-leg throttle). Reading the fields
+    on this sandbox: Ray starts WORKER processes at niceness 15
+    (RAY_worker_niceness default), so `nice_pct` is OUR OWN task
+    time — on a clean 16-of-32-core leg it reads ~35-45% with idle
+    ~50%. The genuine external throttle is `steal_pct` (hypervisor):
+    measured legs at ~0% steal sustain 26-28k docs/s, legs at 10-28%
+    steal drop to 14-24k. In-VM nice-0 co-tenants would land in
+    user/system (both near zero when clean)."""
+    d = [max(0, a - b) for a, b in zip(after, before)]
+    total = max(1, sum(d))
+    return {
+        "idle_pct": round(100 * (d[3] + d[4]) / total, 1),
+        "nice_pct": round(100 * d[1] / total, 1),
+        "steal_pct": round(100 * d[7] / total, 1) if len(d) > 7 else 0.0,
+    }
+
+
 def main_scaling(cpus_lo: int = 4, cpus_hi: int = 16) -> dict:
     """Same input, two parallelism levels, fresh processes.
 
@@ -250,14 +282,17 @@ def main_scaling(cpus_lo: int = 4, cpus_hi: int = 16) -> dict:
     throughput per level is kept — this sandbox VM has ±20% noisy-
     neighbor variance, and peak-vs-peak is the meaningful capability
     ratio (a real N vs 4N cluster comparison would average long steady
-    runs instead).
+    runs instead). Each leg run records its /proc/stat CPU window so
+    neighbor interference is evidenced per leg, not inferred.
     """
     results = {}
+    runs = []
     for _pass in range(2):
         for n in (cpus_lo, cpus_hi):
             time.sleep(5)  # let the previous Ray session's processes exit
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR)
             env.setdefault("GRAFT_BENCH_REPS", "3")
+            cpu0 = _cpu_sample()
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
                 env=env,
@@ -265,8 +300,18 @@ def main_scaling(cpus_lo: int = 4, cpus_hi: int = 16) -> dict:
                 text=True,
                 timeout=3600,
             )
+            sub_window = _cpu_window(cpu0, _cpu_sample())
             line = proc.stdout.strip().splitlines()[-1]
             r = json.loads(line)
+            if not r.get("window"):
+                # fallback: whole-subprocess window (the leg's own
+                # best-rep window from run_headline is preferred)
+                r["window"] = sub_window
+            window = r["window"]
+            runs.append(
+                {"cpus": n, "docs_per_sec": r["docs_per_sec"],
+                 "wall_sec": r["value"], "window": window}
+            )
             if n not in results or r["docs_per_sec"] > results[n]["docs_per_sec"]:
                 results[n] = r
     thr_lo = results[cpus_lo]["docs_per_sec"]
@@ -282,6 +327,11 @@ def main_scaling(cpus_lo: int = 4, cpus_hi: int = 16) -> dict:
             str(cpus_lo): results[cpus_lo]["value"],
             str(cpus_hi): results[cpus_hi]["value"],
         },
+        "window": {
+            str(cpus_lo): results[cpus_lo]["window"],
+            str(cpus_hi): results[cpus_hi]["window"],
+        },
+        "runs": runs,
         "sf": results[cpus_hi]["sf"],
     }
 
