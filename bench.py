@@ -81,6 +81,9 @@ QUERY_NAMES = [
     "distinct_tokens_exact",
     "knn_ivf_exact",
     "semantic_dedup_grid",
+    # round-5 operators
+    "dsir_weights",
+    "line_dedup_clean",
 ]
 
 

@@ -3337,6 +3337,101 @@ FROM marked GROUP BY doc_id
 """
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    fixed-point importance weights for every raw-pool document against
+    a hash-defined target slice (doc_id % 13 == 1 stands in for the
+    high-quality seed corpus). The 4096-bucket hashed-unigram
+    distributions aggregate as narrow partials, the term vector
+    broadcasts once, and scoring is a pure streaming actor-pool map —
+    see stages/dsir.py for the scale contract."""
+    from ..stages import dsir
+
+    base = _docs(sf_dir)
+
+    def mod_filter(want_target: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = b.column("doc_id").to_numpy(zero_copy_only=False) % 13 == 1
+            return b.filter(pa.array(m if want_target else ~m))
+
+        return f
+
+    target = base.map_batches(mod_filter(True), batch_format="pyarrow")
+    raw = base.map_batches(mod_filter(False), batch_format="pyarrow")
+    return dsir.dsir_weights(raw, target, id_col="doc_id")
+
+
+SQL_DSIR_WEIGHTS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS tok
+  FROM documents
+), feats AS (
+  SELECT doc_id, substr(md5(tok), 1, 3) AS b FROM tok
+), tc AS (
+  SELECT b, count(*) AS n FROM feats WHERE doc_id % 13 = 1 GROUP BY b
+), rc AS (
+  SELECT b, count(*) AS n FROM feats WHERE doc_id % 13 != 1 GROUP BY b
+), term AS (
+  SELECT COALESCE(tc.b, rc.b) AS b,
+         CAST(floor(1e7 * ln(COALESCE(tc.n, 0) + 1)) AS BIGINT)
+         - CAST(floor(1e7 * ln(COALESCE(rc.n, 0) + 1)) AS BIGINT) AS t
+  FROM tc FULL JOIN rc ON tc.b = rc.b
+), df AS (
+  SELECT doc_id, b, count(*) AS c FROM feats
+  WHERE doc_id % 13 != 1 GROUP BY doc_id, b
+), agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+         sum(c * t)::BIGINT AS weight_fp
+  FROM df JOIN term USING (b) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, weight_fp,
+       weight_fp / (1e7 * n_tokens) AS avg_weight
+FROM agg
+"""
+
+
+def q_line_dedup_clean(sf_dir: str):
+    """RefinedWeb-style line-level boilerplate removal (Penedo et al.
+    2023 §3.3): delete every layout line occurring in >= 2 distinct
+    documents corpus-wide and return each doc's reassembled clean
+    text. Zero-hit docs (the crawl majority) pass through shuffle-free;
+    only Bloom-hit docs explode, exact-verify, and regroup — see
+    stages/linefreq.py for the scale contract."""
+    from ..stages import linefreq
+
+    return linefreq.frequent_line_clean(
+        _docs(sf_dir), text_col="text", id_col="doc_id", min_docs=2
+    )
+
+
+SQL_LINE_DEDUP_CLEAN = f"""
+WITH base AS (
+  SELECT doc_id, {LINEBREAK_SQL.format(col="COALESCE(text, '')")} AS lt
+  FROM documents
+), d AS (
+  SELECT doc_id, string_split(lt, chr(10)) AS ls FROM base
+), lt2 AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS i
+  FROM d
+), freq AS (
+  SELECT line FROM lt2 GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT doc_id, i, line FROM lt2
+  WHERE line NOT IN (SELECT line FROM freq)
+), agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean_text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, count(*)::BIGINT AS n_lines FROM lt2 GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       t.n_lines,
+       (t.n_lines - COALESCE(a.n_kept, 0))::BIGINT AS n_removed
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # Registry order is deliberate: the driver samples the FIRST 50 entries
 # per round for its DuckDB side-by-side, so the window leads with
 #   (a) the 25 queries that had never received a driver oracle row
@@ -3372,6 +3467,11 @@ QUERIES = {
     # tests/test_hot_buckets.py)
     "dedup_minhash": (q_dedup_minhash, None),
     "simhash_pairs": (q_simhash_pairs, None),
+    # --- (a2) NEW in round 5 (first driver check this round): DSIR
+    # importance resampling + RefinedWeb line-level boilerplate
+    # removal ------------------------------------------------------
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "line_dedup_clean": (q_line_dedup_clean, SQL_LINE_DEDUP_CLEAN),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
