@@ -83,6 +83,7 @@ QUERY_NAMES = [
     "semantic_dedup_grid",
     # round-5 operators
     "dsir_weights",
+    "dsir_select",
     "line_dedup_clean",
 ]
 

@@ -3361,7 +3361,8 @@ def q_dsir_weights(sf_dir: str):
     return dsir.dsir_weights(raw, target, id_col="doc_id")
 
 
-SQL_DSIR_WEIGHTS = """
+# shared CTE core for the two DSIR oracles (weights + selection cut)
+_DSIR_CORE_SQL = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS tok
   FROM documents
@@ -3384,9 +3385,58 @@ WITH tok AS (
          sum(c * t)::BIGINT AS weight_fp
   FROM df JOIN term USING (b) GROUP BY doc_id
 )
+"""
+
+SQL_DSIR_WEIGHTS = _DSIR_CORE_SQL + """
 SELECT doc_id, n_tokens, weight_fp,
        weight_fp / (1e7 * n_tokens) AS avg_weight
 FROM agg
+"""
+
+
+def q_dsir_select(sf_dir: str):
+    """The DSIR paper's actual SELECTION step composed end to end:
+    importance weights → exact corpus-wide top-k cut via the
+    distributed range-partition ranking (rank.global_rank — ONE
+    narrow (weight_fp, doc_id) shuffle; ranking the whole corpus is
+    the general "best N%" curation shape, the k-filter is free)."""
+    import pyarrow.compute as _pc
+
+    from ..stages import dsir, rank
+
+    base = _docs(sf_dir)
+
+    def mod_filter(want_target: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = b.column("doc_id").to_numpy(zero_copy_only=False) % 13 == 1
+            return b.filter(pa.array(m if want_target else ~m))
+
+        return f
+
+    target = base.map_batches(mod_filter(True), batch_format="pyarrow")
+    raw = base.map_batches(mod_filter(False), batch_format="pyarrow")
+    weights = dsir.dsir_weights(raw, target, id_col="doc_id")
+
+    narrow = weights.map_batches(
+        lambda b: b.select(["doc_id", "weight_fp"]),
+        batch_format="pyarrow",
+    )
+    ranked = rank.global_rank(
+        narrow, key_col="weight_fp", id_col="doc_id", descending=True
+    )
+    return ranked.map_batches(
+        lambda b: b.filter(_pc.less(b.column("rank"), 100)),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DSIR_SELECT = _DSIR_CORE_SQL + """
+SELECT doc_id, weight_fp, rank FROM (
+  SELECT doc_id, weight_fp,
+         (row_number() OVER (ORDER BY weight_fp DESC, doc_id) - 1)::BIGINT
+           AS rank
+  FROM agg
+) WHERE rank < 100
 """
 
 
@@ -3471,6 +3521,7 @@ QUERIES = {
     # importance resampling + RefinedWeb line-level boilerplate
     # removal ------------------------------------------------------
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "line_dedup_clean": (q_line_dedup_clean, SQL_LINE_DEDUP_CLEAN),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
