@@ -85,6 +85,7 @@ QUERY_NAMES = [
     "dsir_weights",
     "dsir_select",
     "line_dedup_clean",
+    "host_pagerank",
 ]
 
 

@@ -3482,6 +3482,91 @@ FROM tot t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_host_pagerank(sf_dir: str):
+    """Host-graph link centrality (fixed-point PageRank, 3 power
+    iterations) — the CommonCrawl-style host-ranking step used as a
+    quality prior in web-corpus sampling.  Edges are the corpus's
+    deterministic cross-host projection: doc on host ``doc_id % 50``
+    links to hosts ``(doc_id + s + 1) % 50`` for each of its
+    ``1 + doc_id % 8`` outlinks (variable fanout → genuinely skewed
+    in-link mass, so the ranks move away from uniform).  ONE narrow
+    all-to-all collapses the edge set to the host-pair table; each
+    iteration streams that table with the contrib vector broadcast
+    once (stages/graphrank.py)."""
+    import numpy as np
+
+    from ..stages import graphrank
+
+    base = _docs(sf_dir, columns=("doc_id",))
+
+    def edges(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        fan = 1 + ids % 8
+        src_h = np.repeat(ids % 50, fan)
+        # per-doc link index 0..fan-1, fully vectorized
+        cum = np.cumsum(fan)
+        s = np.arange(cum[-1] if len(fan) else 0, dtype=np.int64) - \
+            np.repeat(cum - fan, fan)
+        dst_h = (np.repeat(ids, fan) + s + 1) % 50
+        lab = np.char.add(
+            "h", np.char.zfill(src_h.astype("U2"), 2))
+        lab_d = np.char.add(
+            "h", np.char.zfill(dst_h.astype("U2"), 2))
+        return pa.table({
+            "src": pa.array(lab.tolist(), pa.string()),
+            "dst": pa.array(lab_d.tolist(), pa.string()),
+        })
+
+    e = base.map_batches(edges, batch_format="pyarrow")
+    return graphrank.pagerank(e, n_iter=3)
+
+
+def _pr_sql_iter(prev: str, cur: str) -> str:
+    """One unrolled PageRank iteration (exact int64 mirror of
+    stages/graphrank.py: floor-div contribs, damped floor-div update)."""
+    return f""", a{cur} AS (
+  SELECT p.dst AS node,
+         sum(p.cnt * (r{prev}.r // deg.outdeg))::BIGINT AS agg
+  FROM p JOIN deg USING (src) JOIN r{prev} ON r{prev}.node = p.src
+  GROUP BY p.dst
+), r{cur} AS (
+  SELECT nodes.node,
+         (((100 - 85) * (1000000000000 // (SELECT n FROM nn))) // 100
+          + (85 * COALESCE(a{cur}.agg, 0)) // 100)::BIGINT AS r
+  FROM nodes LEFT JOIN a{cur} USING (node)
+)"""
+
+
+SQL_HOST_PAGERANK = (
+    """
+WITH l AS (
+  SELECT doc_id, unnest(range(1 + doc_id % 8)) AS s FROM documents
+), e AS (
+  SELECT 'h' || lpad((doc_id % 50)::VARCHAR, 2, '0') AS src,
+         'h' || lpad(((doc_id + s + 1) % 50)::VARCHAR, 2, '0') AS dst
+  FROM l
+), p AS (
+  SELECT src, dst, count(*)::BIGINT AS cnt FROM e GROUP BY src, dst
+), nodes AS (
+  SELECT DISTINCT src AS node FROM p
+  UNION SELECT DISTINCT dst FROM p
+), nn AS (
+  SELECT count(*)::BIGINT AS n FROM nodes
+), deg AS (
+  SELECT src, sum(cnt)::BIGINT AS outdeg FROM p GROUP BY src
+), r0 AS (
+  SELECT node, (1000000000000 // (SELECT n FROM nn))::BIGINT AS r
+  FROM nodes
+)"""
+    + _pr_sql_iter("0", "1")
+    + _pr_sql_iter("1", "2")
+    + _pr_sql_iter("2", "3")
+    + """
+SELECT node, r AS rank_fp, r / 1000000000000.0 AS rank FROM r3
+"""
+)
+
+
 # Registry order is deliberate: the driver samples the FIRST 50 entries
 # per round for its DuckDB side-by-side, so the window leads with
 #   (a) the 25 queries that had never received a driver oracle row
@@ -3523,6 +3608,7 @@ QUERIES = {
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "line_dedup_clean": (q_line_dedup_clean, SQL_LINE_DEDUP_CLEAN),
+    "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
