@@ -86,6 +86,7 @@ QUERY_NAMES = [
     "dsir_select",
     "line_dedup_clean",
     "host_pagerank",
+    "pagerank_gate",
 ]
 
 

@@ -3537,7 +3537,8 @@ def _pr_sql_iter(prev: str, cur: str) -> str:
 )"""
 
 
-SQL_HOST_PAGERANK = (
+# shared CTE chain for the two PageRank oracles (ranks + quality gate)
+_PR_CORE_SQL = (
     """
 WITH l AS (
   SELECT doc_id, unnest(range(1 + doc_id % 8)) AS s FROM documents
@@ -3561,10 +3562,60 @@ WITH l AS (
     + _pr_sql_iter("0", "1")
     + _pr_sql_iter("1", "2")
     + _pr_sql_iter("2", "3")
-    + """
+)
+
+SQL_HOST_PAGERANK = _PR_CORE_SQL + """
 SELECT node, r AS rank_fp, r / 1000000000000.0 AS rank FROM r3
 """
+
+
+def q_pagerank_gate(sf_dir: str):
+    """Centrality-as-quality-prior, composed end to end: rank hosts
+    with `host_pagerank`, keep documents whose host is among the
+    top 10 by rank (ties broken by host name).  The ranked-host table
+    is the SMALL side — sorted/cut driver-side (node-sized, guarded
+    upstream) and broadcast into a pure streaming doc filter; the
+    corpus side never shuffles."""
+    import numpy as np
+
+    from ..stages import graphrank  # noqa: F401  (rank path below)
+
+    ranks = q_host_pagerank(sf_dir).take_all()  # node-sized small side
+    ranks.sort(key=lambda r: (-r["rank_fp"], r["node"]))
+    # dense host-number → rank_fp lookup (-1 = gated out), vectorized
+    lut = np.full(50, -1, dtype=np.int64)
+    for r in ranks[:10]:
+        lut[int(r["node"][1:])] = r["rank_fp"]
+
+    base = _docs(sf_dir, columns=("doc_id",))
+
+    def gate(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        fp = lut[ids % 50]
+        mask = fp >= 0
+        kept = ids[mask]
+        lab = np.char.add(
+            "h", np.char.zfill((kept % 50).astype("U2"), 2))
+        return pa.table({
+            "doc_id": pa.array(kept, pa.int64()),
+            "host": pa.array(lab.tolist(), pa.string()),
+            "host_rank_fp": pa.array(fp[mask], pa.int64()),
+        })
+
+    return base.map_batches(gate, batch_format="pyarrow")
+
+
+SQL_PAGERANK_GATE = _PR_CORE_SQL + """
+, top AS (
+  SELECT node, r FROM r3
+  QUALIFY row_number() OVER (ORDER BY r DESC, node) <= 10
 )
+SELECT doc_id,
+       'h' || lpad((doc_id % 50)::VARCHAR, 2, '0') AS host,
+       top.r AS host_rank_fp
+FROM documents
+JOIN top ON top.node = 'h' || lpad((doc_id % 50)::VARCHAR, 2, '0')
+"""
 
 
 # Registry order is deliberate: the driver samples the FIRST 50 entries
@@ -3609,6 +3660,7 @@ QUERIES = {
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "line_dedup_clean": (q_line_dedup_clean, SQL_LINE_DEDUP_CLEAN),
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
+    "pagerank_gate": (q_pagerank_gate, SQL_PAGERANK_GATE),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
