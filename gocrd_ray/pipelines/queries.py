@@ -3618,6 +3618,31 @@ JOIN top ON top.node = 'h' || lpad((doc_id % 50)::VARCHAR, 2, '0')
 """
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL source/sink exactness: documents → JSON-lines shards
+    (one file per block, the Dolma/RedPajama interchange shape) →
+    read back.  The oracle is the original table — the roundtrip must
+    be bit-exact through the text boundary (unicode escapes, int64,
+    nulls)."""
+    import tempfile
+
+    from ..sources import jsonl
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet")
+    out = tempfile.mkdtemp(prefix="jsonl_rt_", dir="/tmp")
+    jsonl.write_jsonl(ds, out)
+    back = jsonl.read_jsonl(out)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    return back.map_batches(
+        lambda b: b.select(cols), batch_format="pyarrow"
+    )
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
 # Registry order is deliberate: the driver samples the FIRST 50 entries
 # per round for its DuckDB side-by-side, so the window leads with
 #   (a) the 25 queries that had never received a driver oracle row
@@ -3661,6 +3686,7 @@ QUERIES = {
     "line_dedup_clean": (q_line_dedup_clean, SQL_LINE_DEDUP_CLEAN),
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     "pagerank_gate": (q_pagerank_gate, SQL_PAGERANK_GATE),
+    "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
