@@ -87,6 +87,7 @@ QUERY_NAMES = [
     "line_dedup_clean",
     "host_pagerank",
     "pagerank_gate",
+    "train_shuffle",
 ]
 
 

@@ -3618,6 +3618,46 @@ JOIN top ON top.node = 'h' || lpad((doc_id % 50)::VARCHAR, 2, '0')
 """
 
 
+def q_train_shuffle(sf_dir: str):
+    """Deterministic global training shuffle — the shuffle-before-
+    sequence-packing step: every doc gets a pseudorandom but
+    reproducible position (rank of md5(doc_id), ties by doc_id; salt
+    the key to derive a fresh epoch permutation).  ONE narrow
+    (shuffle_key, doc_id) range-partition shuffle via
+    rank.global_rank; the corpus text never moves."""
+    from ..stages import rank
+
+    base = _docs(sf_dir, columns=("doc_id",))
+
+    def key(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("doc_id"), pa.int64())
+        # per-row md5 is the SQL-parity contract (DuckDB md5() mirror)
+        ks = [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+            for i in ids.to_pylist()
+        ]
+        return pa.table({
+            "doc_id": ids,
+            "shuffle_key": pa.array(ks, pa.int64()),
+        })
+
+    narrow = base.map_batches(key, batch_format="pyarrow")
+    return rank.global_rank(
+        narrow, key_col="shuffle_key", id_col="doc_id", descending=False
+    )
+
+
+SQL_TRAIN_SHUFFLE = """
+SELECT doc_id,
+       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+         AS shuffle_key,
+       (row_number() OVER (
+          ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                   doc_id) - 1)::BIGINT AS rank
+FROM documents
+"""
+
+
 def q_jsonl_roundtrip(sf_dir: str):
     """JSONL source/sink exactness: documents → JSON-lines shards
     (one file per block, the Dolma/RedPajama interchange shape) →
@@ -3687,6 +3727,7 @@ QUERIES = {
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     "pagerank_gate": (q_pagerank_gate, SQL_PAGERANK_GATE),
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
+    "train_shuffle": (q_train_shuffle, SQL_TRAIN_SHUFFLE),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),

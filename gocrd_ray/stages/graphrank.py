@@ -108,12 +108,20 @@ class _Contrib:
 
 def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
              n_iter: int = 3, max_nodes: int = 5_000_000,
-             concurrency=(1, 8)):
+             small_p_cap: int = 4_000_000, concurrency=(1, 8)):
     """PageRank over an edge Dataset.  Returns a Dataset of
     ``(node, rank_fp, rank)`` — ``rank_fp`` the exact int64
     fixed-point score (sums to ≤ SCALE), ``rank = rank_fp / SCALE``
     its float view.  See the module docstring for the arithmetic
-    contract and the scale shape."""
+    contract and the scale shape.
+
+    Adaptive small side: the node-discovery pass already streams the
+    whole pair table to the driver, so when P has ≤ ``small_p_cap``
+    rows the K iterations run directly on the collected int-indexed
+    numpy arrays — identical integer recurrence, bit-identical output
+    (test-pinned), none of the per-iteration Ray job fixed cost.
+    Above the cap the iterations run distributed as described in the
+    module docstring."""
     import ray
     import ray.data
 
@@ -124,9 +132,17 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
     # driver-side (pair-table blocks arrive pre-reduced)
     deg_map: dict = {}
     nodes_set: set = set()
+    small_batches: list | None = []
+    n_pair_rows = 0
     for b in p.iter_batches(batch_format="pyarrow"):
         if b.num_rows == 0:
             continue
+        n_pair_rows += b.num_rows
+        if small_batches is not None:
+            if n_pair_rows <= small_p_cap:
+                small_batches.append(b)
+            else:
+                small_batches = None  # too big — iterate distributed
         srcs = np.asarray(b.column(src_col).to_pylist(), dtype=object)
         cnts = b.column("cnt").to_numpy(zero_copy_only=False)
         # fold to batch-unique srcs before touching the dict (bincount
@@ -158,6 +174,31 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
 
     base = ((DAMP_DEN - DAMP_NUM) * (SCALE // n)) // DAMP_DEN
     r = np.full(n, SCALE // n, dtype=np.int64)
+
+    if small_batches is not None:
+        # small-P fast path: same recurrence on the collected arrays
+        import pyarrow.compute as pc
+
+        pt = pa.concat_tables(small_batches)
+        src_idx = pc.index_in(
+            pt.column(src_col).combine_chunks(), value_set=idx_arr
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        dst_idx = pc.index_in(
+            pt.column(dst_col).combine_chunks(), value_set=idx_arr
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = pt.column("cnt").to_numpy(zero_copy_only=False)
+        for _ in range(n_iter):
+            contrib = np.zeros(n, dtype=np.int64)
+            np.floor_divide(r, outdeg, out=contrib, where=has_out)
+            agg = np.zeros(n, dtype=np.int64)
+            np.add.at(agg, dst_idx, cnt * contrib[src_idx])
+            r = base + (DAMP_NUM * agg) // DAMP_DEN
+        return ray.data.from_arrow(pa.table({
+            "node": idx_arr,
+            "rank_fp": pa.array(r, pa.int64()),
+            "rank": pa.array(r / float(SCALE), pa.float64()),
+        }))
+
     idx_ref = ray.put(idx_arr)
 
     for _ in range(n_iter):

@@ -89,6 +89,21 @@ def test_pagerank_max_nodes_guard():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_small_and_distributed_paths_bit_identical():
+    """small_p_cap=0 forces the distributed iteration; the default
+    takes the driver fast path — outputs must match to the bit."""
+    rng = np.random.default_rng(7)
+    pairs = [(f"n{int(a):02d}", f"n{int(b):02d}")
+             for a, b in rng.integers(0, 20, size=(300, 2))]
+    fast = {r["node"]: r["rank_fp"]
+            for r in graphrank.pagerank(_edges_ds(pairs)).take_all()}
+    dist = {r["node"]: r["rank_fp"]
+            for r in graphrank.pagerank(
+                _edges_ds(pairs), small_p_cap=0).take_all()}
+    assert fast == dist and len(fast) == 20
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pagerank_rank_mass_conserved_without_dangling():
     """On a graph where every node has outlinks, the damped mass is
     conserved up to floor-division dust: sum ≈ SCALE."""
