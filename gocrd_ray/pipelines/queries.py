@@ -3683,6 +3683,27 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """CSV source/sink exactness: documents → quoted CSV shards →
+    read back.  Same identity-oracle contract as `jsonl_roundtrip`;
+    the quoting scheme keeps null and empty string distinct."""
+    import tempfile
+
+    from ..sources import csvio
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet")
+    out = tempfile.mkdtemp(prefix="csv_rt_", dir="/tmp")
+    csvio.write_csv(ds, out)
+    back = csvio.read_csv(out)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    return back.map_batches(
+        lambda b: b.select(cols), batch_format="pyarrow"
+    )
+
+
+SQL_CSV_ROUNDTRIP = SQL_JSONL_ROUNDTRIP
+
+
 # Registry order is deliberate: the driver samples the FIRST 50 entries
 # per round for its DuckDB side-by-side, so the window leads with
 #   (a) the 25 queries that had never received a driver oracle row
@@ -3728,6 +3749,7 @@ QUERIES = {
     "pagerank_gate": (q_pagerank_gate, SQL_PAGERANK_GATE),
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     "train_shuffle": (q_train_shuffle, SQL_TRAIN_SHUFFLE),
+    "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
