@@ -3704,6 +3704,62 @@ def q_csv_roundtrip(sf_dir: str):
 SQL_CSV_ROUNDTRIP = SQL_JSONL_ROUNDTRIP
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """WARC source/sink exactness (ISO 28500, the CommonCrawl crawl
+    interchange): documents → record-gzip WARC shards (one gzip member
+    per record, CommonCrawl's actual layout) → streaming record parse
+    back.  text crosses as the byte-exact payload (Content-Length
+    framing, no escaping), doc_id / lang / source / n_chars as
+    WARC-X- extension headers.  Identity oracle like the JSONL/CSV
+    contracts."""
+    import tempfile
+
+    from ..sources import warc
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet")
+
+    def to_warc_shape(b: pa.Table) -> pa.Table:
+        did = pc.cast(b.column("doc_id"), pa.string())
+        rec_id = pc.binary_join_element_wise(
+            "<urn:gocrd:doc:", did, ">", "")
+        return pa.table({
+            "rec_id": rec_id,
+            "url": pc.binary_join_element_wise(
+                "http://", b.column("source"), "/", did, ""),
+            "warc_ts": pa.array(
+                [1767225600000000] * len(b), pa.int64()
+            ).cast(pa.timestamp("us")),  # 2026-01-01T00:00:00Z
+            "payload": pc.cast(b.column("text"), pa.binary()),
+            "doc_id": b.column("doc_id"),
+            "lang": b.column("lang"),
+            "source": b.column("source"),
+            "n_chars": b.column("n_chars"),
+        })
+
+    out = tempfile.mkdtemp(prefix="warc_rt_", dir="/tmp")
+    warc.write_warc(
+        ds.map_batches(to_warc_shape, batch_format="pyarrow"), out,
+        x_cols=("doc_id", "lang", "source", "n_chars"),
+        compression="record-gzip")
+    back = warc.read_warc(
+        out, x_cols={"doc_id": "int64", "lang": "string",
+                     "source": "string", "n_chars": "int64"})
+
+    def from_warc_shape(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": pc.cast(b.column("payload"), pa.string()),
+            "lang": b.column("lang"),
+            "source": b.column("source"),
+            "n_chars": b.column("n_chars"),
+        })
+
+    return back.map_batches(from_warc_shape, batch_format="pyarrow")
+
+
+SQL_WARC_ROUNDTRIP = SQL_JSONL_ROUNDTRIP
+
+
 # Registry order is deliberate: the driver samples the FIRST 50 entries
 # per round for its DuckDB side-by-side, so the window leads with
 #   (a) the 25 queries that had never received a driver oracle row
@@ -3750,6 +3806,7 @@ QUERIES = {
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     "train_shuffle": (q_train_shuffle, SQL_TRAIN_SHUFFLE),
     "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
+    "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
