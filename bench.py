@@ -88,6 +88,7 @@ QUERY_NAMES = [
     "host_pagerank",
     "pagerank_gate",
     "train_shuffle",
+    "bpe_merges",
 ]
 
 

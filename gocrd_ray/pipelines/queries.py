@@ -3760,6 +3760,78 @@ def q_warc_roundtrip(sf_dir: str):
 SQL_WARC_ROUNDTRIP = SQL_JSONL_ROUNDTRIP
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer-merge training (Sennrich 2016): the
+    corpus-scale work is ONE narrow (word, n) partial-count groupby +
+    an exact top-50k type cut; the 8 merge iterations run driver-local
+    on the bounded word-type table — the production-trainer shape (a
+    tokenizer learns merges from word frequencies, never the raw token
+    stream).  Merge application follows the two-pass padded-replace
+    contract (stages/bpe.py docstring) so the unrolled-CTE DuckDB
+    mirror is bit-exact including argmax tie-breaks."""
+    from ..stages import bpe
+
+    return bpe.bpe_merges(
+        _docs(sf_dir, columns=("text",)),
+        n_merges=bpe.DEFAULT_MERGES,
+        max_types=bpe.DEFAULT_MAX_TYPES,
+    )
+
+
+def _bpe_sql(k: int, max_types: int) -> str:
+    """Unrolled K-iteration BPE mirror.  MATERIALIZED CTEs are load-
+    bearing: DuckDB inlines plain CTEs, so a chained unroll otherwise
+    re-expands the whole prefix at every step (exponential plan).
+    replace() in DuckDB is leftmost-nonoverlapping exactly like
+    Python's str.replace — the contract stages/bpe.py pins."""
+    s = "chr(31)"  # the SEP framing byte, U+001F
+    ctes = [
+        f"""t0 AS MATERIALIZED (
+  SELECT word, n, array_to_string(regexp_extract_all(word, '(?s).'), {s}) AS sym
+  FROM (
+    SELECT t AS word, count(*)::BIGINT AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    WHERE t <> '' GROUP BY t
+    QUALIFY row_number() OVER (ORDER BY n DESC, word ASC) <= {max_types}
+  ))"""
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        pat = f"{s}||(SELECT l FROM m{i})||{s}||(SELECT r FROM m{i})||{s}"
+        rep = f"{s}||(SELECT l FROM m{i})||(SELECT r FROM m{i})||{s}"
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT pr[1] AS l, pr[2] AS r, sum(n)::BIGINT AS pn
+  FROM (SELECT n, unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS pr
+        FROM (SELECT n, string_split(sym, {s}) AS arr FROM t{p})
+        WHERE len(arr) > 1)
+  GROUP BY pr[1], pr[2])"""
+        )
+        ctes.append(
+            f"m{i} AS MATERIALIZED "
+            f"(SELECT l, r, pn FROM c{i} ORDER BY pn DESC, l ASC, r ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT word, n, substr(padded, 2, len(padded) - 2) AS sym
+  FROM (SELECT word, n,
+               replace(replace({s}||sym||{s}, {pat}, {rep}), {pat}, {rep})
+                 AS padded
+        FROM t{p}))"""
+        )
+    finals = " UNION ALL ".join(
+        f'SELECT {i}::BIGINT AS step, l AS "left", r AS "right", pn AS pair_n '
+        f"FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({finals}) ORDER BY step"
+    )
+
+
+SQL_BPE_MERGES = _bpe_sql(8, 50_000)
+
+
 # Registry order is deliberate: the driver samples the FIRST 50 entries
 # per round for its DuckDB side-by-side, so the window leads with
 #   (a) the 25 queries that had never received a driver oracle row
@@ -3807,6 +3879,7 @@ QUERIES = {
     "train_shuffle": (q_train_shuffle, SQL_TRAIN_SHUFFLE),
     "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
