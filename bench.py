@@ -89,6 +89,7 @@ QUERY_NAMES = [
     "pagerank_gate",
     "train_shuffle",
     "bpe_merges",
+    "bpe_token_counts",
 ]
 
 

@@ -3778,12 +3778,13 @@ def q_bpe_merges(sf_dir: str):
     )
 
 
-def _bpe_sql(k: int, max_types: int) -> str:
-    """Unrolled K-iteration BPE mirror.  MATERIALIZED CTEs are load-
-    bearing: DuckDB inlines plain CTEs, so a chained unroll otherwise
-    re-expands the whole prefix at every step (exponential plan).
-    replace() in DuckDB is leftmost-nonoverlapping exactly like
-    Python's str.replace — the contract stages/bpe.py pins."""
+def _bpe_merge_ctes(k: int, max_types: int) -> list:
+    """Unrolled K-iteration BPE merge CTEs (shared by the train and
+    encode mirrors).  MATERIALIZED CTEs are load-bearing: DuckDB
+    inlines plain CTEs, so a chained unroll otherwise re-expands the
+    whole prefix at every step (exponential plan).  replace() in
+    DuckDB is leftmost-nonoverlapping exactly like Python's
+    str.replace — the contract stages/bpe.py pins."""
     s = "chr(31)"  # the SEP framing byte, U+001F
     ctes = [
         f"""t0 AS MATERIALIZED (
@@ -3819,6 +3820,11 @@ def _bpe_sql(k: int, max_types: int) -> str:
                  AS padded
         FROM t{p}))"""
         )
+    return ctes
+
+
+def _bpe_sql(k: int, max_types: int) -> str:
+    ctes = _bpe_merge_ctes(k, max_types)
     finals = " UNION ALL ".join(
         f'SELECT {i}::BIGINT AS step, l AS "left", r AS "right", pn AS pair_n '
         f"FROM m{i}"
@@ -3829,7 +3835,60 @@ def _bpe_sql(k: int, max_types: int) -> str:
     )
 
 
+def _bpe_encode_sql(k: int, max_types: int) -> str:
+    """Encode mirror: re-derives the K merges via the shared CTE chain,
+    then applies them to every doc with the same framed two-pass
+    replace contract and reads the token count off the separator-count
+    identity (stages/bpe.token_counts_from_framed docstring)."""
+    s = "chr(31)"
+    ctes = _bpe_merge_ctes(k, max_types)
+    ctes.append(
+        f"""enc0 AS MATERIALIZED (
+  SELECT doc_id,
+         {s} || replace(
+           regexp_replace(
+             trim(regexp_replace(coalesce(text, ''), ' +', ' ', 'g'), ' '),
+             '(?s)(.)', '\\1' || {s}, 'g'),
+           {s}||' '||{s}, {s}||{s}) AS x
+  FROM documents)"""
+    )
+    for i in range(1, k + 1):
+        pat = f"{s}||(SELECT l FROM m{i})||{s}||(SELECT r FROM m{i})||{s}"
+        rep = f"{s}||(SELECT l FROM m{i})||(SELECT r FROM m{i})||{s}"
+        ctes.append(
+            f"""enc{i} AS MATERIALIZED (
+  SELECT doc_id, replace(replace(x, {pat}, {rep}), {pat}, {rep}) AS x
+  FROM enc{i - 1})"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT doc_id,
+       ((len(x) - len(replace(x, {s}, '')))
+        - (len(x) - len(replace(x, {s}||{s}, ''))) / 2
+        - 1)::BIGINT AS n_tokens
+FROM enc{k}"""
+    )
+
+
 SQL_BPE_MERGES = _bpe_sql(8, 50_000)
+SQL_BPE_TOKEN_COUNTS = _bpe_encode_sql(8, 50_000)
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """Per-doc token counts under the corpus-learned BPE merges — the
+    token-budget pass of a training-mix pipeline.  Train = bpe_merges
+    (one narrow groupby + driver-local loop on the bounded type
+    table); encode = a pure streaming map (two vectorized Arrow
+    literal-replace passes per merge on the framed string, no
+    shuffle), with the count read off the separator-count identity."""
+    from ..stages import bpe
+
+    merges = bpe.bpe_merges(
+        _docs(sf_dir, columns=("text",)),
+        n_merges=bpe.DEFAULT_MERGES,
+        max_types=bpe.DEFAULT_MAX_TYPES,
+    )
+    return bpe.encode_token_counts(_docs(sf_dir), merges)
 
 
 # Registry order is deliberate: the driver samples the FIRST 50 entries
@@ -3880,6 +3939,7 @@ QUERIES = {
     "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),

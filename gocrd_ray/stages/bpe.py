@@ -152,6 +152,67 @@ def train_bpe(
     )
 
 
+def frame_texts(texts, sep: str = SEP):
+    """Vectorized doc → framed symbol string (all Arrow RE2 kernels).
+
+    Contract (shared with the SQL mirror): collapse space runs, trim
+    spaces, put ``sep`` after every codepoint, rewrite the word joins
+    ``sep+' '+sep`` to a DOUBLE separator, prepend one ``sep``.  Words
+    are single-space-split non-empty tokens, exactly the train-side
+    contract.  A merge pattern ``sep+l+sep+r+sep`` can never straddle
+    a word boundary: the boundary carries two adjacent separators and
+    symbols never contain ``sep``.  Null text frames like ''.
+    """
+    y = pc.utf8_trim(
+        pc.replace_substring_regex(pc.fill_null(texts, ""), " +", " "), " "
+    )
+    z = pc.replace_substring_regex(y, "(?s)(.)", "\\1" + sep)
+    w = pc.replace_substring(z, sep + " " + sep, sep + sep)
+    return pc.binary_join_element_wise(pa.array([sep] * len(w)), w, "")
+
+
+def token_counts_from_framed(framed, sep: str = SEP):
+    """#tokens = count(sep) - count(sep+sep) - 1 on a framed string.
+
+    Within-word separators S = symbols - words; each of the J = words-1
+    joins holds two seps; plus the leading and final trailing sep:
+    count(sep) = S + 2J + 2 and count(sep+sep) = J (a triple sep cannot
+    occur — words are non-empty), so symbols = count - J - 1.  Every
+    applied merge removes exactly one within-word sep and never forms
+    a double sep, so the identity survives encoding.  Empty doc →
+    framed == sep → 0.
+    """
+    c1 = pc.count_substring(framed, sep)
+    c2 = pc.count_substring(framed, sep + sep)
+    return pc.cast(
+        pc.subtract(pc.subtract(c1, c2), 1), pa.int64()
+    )
+
+
+def encode_token_counts(ds, merges: pa.Table, id_col: str = "doc_id"):
+    """Per-doc token count under the learned merge table — the
+    token-counting pass you budget a training mix with.  Pure
+    streaming map (no shuffle): 2 vectorized literal-replace passes
+    per merge on the framed string, then the separator-count identity.
+    The merge table is tiny (K rows) and rides the task closure."""
+    pairs = list(
+        zip(merges.column("left").to_pylist(), merges.column("right").to_pylist())
+    )
+
+    def batch(b: pa.Table) -> pa.Table:
+        x = frame_texts(b.column("text"))
+        for left, right in pairs:
+            pat = SEP + left + SEP + right + SEP
+            rep = SEP + left + right + SEP
+            x = pc.replace_substring(x, pat, rep)
+            x = pc.replace_substring(x, pat, rep)
+        return pa.table(
+            {id_col: b.column(id_col), "n_tokens": token_counts_from_framed(x)}
+        )
+
+    return ds.map_batches(batch, batch_format="pyarrow")
+
+
 def bpe_merges(
     ds,
     n_merges: int = DEFAULT_MERGES,

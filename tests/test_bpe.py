@@ -12,7 +12,7 @@ import pyarrow as pa
 import pytest
 
 from gocrd_ray.stages import bpe
-from gocrd_ray.pipelines.queries import _bpe_sql
+from gocrd_ray.pipelines.queries import _bpe_encode_sql, _bpe_sql
 
 
 def test_apply_merge_chains():
@@ -126,6 +126,80 @@ def test_word_type_counts_cap(ray_session):
     # counts: d=4, a=3, b=3, c=2 → top-3 with (n DESC, word ASC): d,a,b
     assert out.column("word").to_pylist() == ["d", "a", "b"]
     assert out.column("n").to_pylist() == [4, 3, 3]
+
+
+def test_frame_and_count_edges():
+    texts = pa.array(
+        ["ab c", "héllo  x", "", None, "  ", "a\tb", "a\nb c", "single"]
+    )
+    framed = bpe.frame_texts(texts)
+    counts = bpe.token_counts_from_framed(framed).to_pylist()
+    # ab c → 3 symbols; héllo x → 6; empty/null/spaces → 0;
+    # tab/newline live INSIDE words (split is single-space only):
+    # "a\tb" = one 3-symbol word; "a\nb c" = 3 + 1
+    assert counts == [3, 6, 0, 0, 0, 3, 4, 6]
+
+
+def test_encode_zero_and_full_merge():
+    # merge (a,b) then (ab,ab): "ab ab abab" → a b|a b|a b a b →
+    # after m1: ab|ab|ab ab → after m2: ab|ab|abab → 1+1+1 = 3 tokens
+    merges = pa.table(
+        {
+            "step": pa.array([1, 2], pa.int64()),
+            "left": ["a", "ab"],
+            "right": ["b", "ab"],
+            "pair_n": pa.array([0, 0], pa.int64()),
+        }
+    )
+    framed = bpe.frame_texts(pa.array(["ab ab abab"]))
+    x = framed
+    import pyarrow.compute as pc
+
+    for left, right in (("a", "b"), ("ab", "ab")):
+        pat = bpe.SEP + left + bpe.SEP + right + bpe.SEP
+        rep = bpe.SEP + left + right + bpe.SEP
+        x = pc.replace_substring(x, pat, rep)
+        x = pc.replace_substring(x, pat, rep)
+    assert bpe.token_counts_from_framed(x).to_pylist() == [3]
+
+
+def test_encode_matches_unrolled_sql(ray_session):
+    """encode_token_counts (Ray streaming map, merges via closure) vs
+    the shared-CTE DuckDB encode mirror on an adversarial doc table:
+    multi-space runs, multi-byte chars, nulls, overlap chains."""
+    import ray
+
+    docs = [
+        (0, "the the the cat"),
+        (1, "aaaa aaa  aa"),
+        (2, None),
+        (3, ""),
+        (4, "héllo ſoft the"),
+        (5, "ab ab abab the cat"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }
+    )
+    k = 4
+    merges = bpe.bpe_merges(ray.data.from_arrow(tbl), n_merges=k)
+    got = (
+        bpe.encode_token_counts(ray.data.from_arrow(tbl), merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (
+        con.execute(_bpe_encode_sql(k, 50_000))
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
 
 
 def test_bpe_merges_end_to_end(ray_session):
