@@ -3618,6 +3618,77 @@ JOIN top ON top.node = 'h' || lpad((doc_id % 50)::VARCHAR, 2, '0')
 """
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Full-corpus distributed k-means (Lloyd's, k=8, 3 iterations)
+    over the embedding table — the trainer behind every
+    centroid-based curation step (SemDeDup cluster partition, IVF ANN
+    coarse quantizer).  Exact int64 fixed-point arithmetic
+    (stages/kmeans.py): every iteration is ONE streaming pass with
+    the (k x dim) centroid matrix broadcast once; blocks pre-reduce
+    to <= k partial rows; no shuffle anywhere.  Bit-identical to the
+    unrolled long-form SQL mirror (quantize -> 3x assign/update ->
+    final label)."""
+    from ..stages import kmeans
+
+    return kmeans.lloyd_kmeans(_emb(sf_dir), k=8, n_iter=3)
+
+
+def _km_sql_iter(prev: str, cur: str) -> str:
+    """One unrolled Lloyd iteration (exact int64 mirror of
+    stages/kmeans.py: int distances, (dist, cl) argmin, floor-div
+    centroid means via the explicit mod formula — DuckDB's ``//``
+    truncates toward zero, numpy floors, the exactly-divisible
+    numerator makes every division mode agree)."""
+    return f""", dist{cur} AS (
+  SELECT q.vec_id, c.cl, SUM((q.v - c.v) * (q.v - c.v))::BIGINT AS dist
+  FROM q JOIN c{prev} c USING (d) GROUP BY q.vec_id, c.cl
+), a{cur} AS (
+  SELECT vec_id, cl, dist FROM (
+    SELECT vec_id, cl, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl)
+             AS rn
+    FROM dist{cur}) WHERE rn = 1
+), upd{cur} AS (
+  SELECT a.cl, q.d, SUM(q.v)::BIGINT AS s, COUNT(*)::BIGINT AS n
+  FROM a{cur} a JOIN q ON q.vec_id = a.vec_id GROUP BY a.cl, q.d
+), c{cur} AS (
+  SELECT p.cl, p.d,
+         CAST(COALESCE(
+           (u.s - (((u.s % u.n) + u.n) % u.n)) // u.n, p.v
+         ) AS BIGINT) AS v
+  FROM c{prev} p LEFT JOIN upd{cur} u ON u.cl = p.cl AND u.d = p.d
+)"""
+
+
+SQL_KMEANS_CLUSTERS = (
+    """
+WITH q AS (
+  SELECT vec_id, d, CAST(FLOOR(CAST(e AS DOUBLE) * 1048576) AS BIGINT)
+           AS v
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings)
+), init AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), c0 AS (
+  SELECT i.cl, q.d, q.v FROM q JOIN init i USING (vec_id)
+)"""
+    + _km_sql_iter("0", "1")
+    + _km_sql_iter("1", "2")
+    + _km_sql_iter("2", "3")
+    + """, distF AS (
+  SELECT q.vec_id, c.cl, SUM((q.v - c.v) * (q.v - c.v))::BIGINT AS dist
+  FROM q JOIN c3 c USING (d) GROUP BY q.vec_id, c.cl
+)
+SELECT vec_id, cl AS cluster, dist AS dist_fp FROM (
+  SELECT vec_id, cl, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+  FROM distF) WHERE rn = 1
+"""
+)
+
+
 def q_train_shuffle(sf_dir: str):
     """Deterministic global training shuffle — the shuffle-before-
     sequence-packing step: every doc gets a pseudorandom but
@@ -3940,6 +4011,7 @@ QUERIES = {
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
+    "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),

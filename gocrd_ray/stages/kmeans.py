@@ -1,0 +1,291 @@
+"""Distributed Lloyd's k-means over an embedding Dataset — exact
+integer fixed-point arithmetic, bit-identical to an unrolled SQL
+mirror (the lm.py / dsir.py / graphrank.py exactness contract).
+
+k-means is the workhorse quantizer of large-scale curation: SemDeDup
+(Abbas et al. 2023, arXiv:2303.09540) clusters the embedding space
+before within-cluster dedup, and IVF ANN indexes (Jégou et al. 2011)
+partition vectors by nearest centroid.  ``similarity.py`` fits its
+centroids on a driver-held SAMPLE (`_fit_centroids`) — correct for a
+quantizer, but the trainer itself should scale to the full corpus.
+This stage is that trainer: full-pass Lloyd iterations where every
+pass is a pure streaming ``map_batches`` and the driver state is
+O(k x dim).
+
+Arithmetic contract (all int64, bit-reproducible):
+
+    q[i,d]  = floor(float64(emb[i,d]) * 2^SCALE_BITS)   (quantize)
+    dist    = sum_d (q[i,d] - c[j,d])^2                 (int64 exact)
+    assign  = argmin_j (dist, j)                        (ties: low j)
+    c'[j,d] = floordiv(sum_{i in j} q[i,d], n_j)        (floor, not
+                                                         truncate)
+    empty cluster keeps its previous centroid.
+
+float32 -> float64 is exact, multiplying by a power of two is exact,
+and floor is exact, so numpy and DuckDB quantize identically.  Floor
+division must NOT use SQL's ``//`` directly (DuckDB truncates toward
+zero on negatives); both sides compute
+``(s - (((s % n) + n) % n)) / n`` whose numerator is exactly
+divisible — every division mode agrees there.
+
+Init is deterministic and SQL-expressible: cluster j's seed is the
+row with the (j+1)-th smallest id.  (k-means++ would need a random
+stream; a fixed-id init keeps the mirror exact and is standard for
+reproducible runs.)
+
+Overflow budget: |emb| <= 2048 after quantization gives |q| < 2^31,
+per-dim squared diff < 2^64/dim for dim <= 4096 — guarded loudly in
+``_quantize``.
+
+Scale shape (10^9 vectors x 10^2..3 dims): each of the K iterations
+is ONE streaming pass over the corpus; the (k x dim) int64 centroid
+matrix is broadcast ONCE per iteration via ``ray.put``; every block
+reduces map-side to <= k narrow partial rows (cluster, count, packed
+sums), so the driver merge is O(k x dim x n_blocks) bytes of
+pre-reduced partials — the HLL-partial / graphrank-contrib shape.  No
+all-to-all anywhere: the corpus is never shuffled, sorted, or grouped.
+The final labeling pass streams once more and can fuse into whatever
+consumes the labels (e.g. the SemDeDup within-cluster groupby).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SCALE_BITS = 20
+_SCALE = float(1 << SCALE_BITS)
+# |q| beyond this risks int64 overflow in the per-point distance sum
+_Q_ABS_MAX = 1 << 31
+
+
+def _floordiv(s: np.ndarray, n: int) -> np.ndarray:
+    """Floor division matching the SQL mirror's explicit formula.
+    numpy's ``//`` already floors; the formula is spelled out in the
+    SQL string (DuckDB ``//`` truncates toward zero)."""
+    return np.floor_divide(s, n)
+
+
+def _quantize(emb_col, dim_guard: int = 4096) -> np.ndarray:
+    """Arrow list<float> column -> (n, dim) int64 fixed-point matrix."""
+    if isinstance(emb_col, pa.ChunkedArray):
+        emb_col = emb_col.combine_chunks()
+    flat = emb_col.flatten().to_numpy(zero_copy_only=False)
+    n = len(emb_col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.int64)
+    dim = len(flat) // n
+    q = np.floor(flat.astype(np.float64) * _SCALE).astype(np.int64)
+    if dim > dim_guard or (len(q) and np.abs(q).max() >= _Q_ABS_MAX):
+        raise ValueError(
+            "kmeans fixed-point overflow guard: |quantized| must stay "
+            f"< 2^31 and dim <= {dim_guard} (got dim={dim}, "
+            f"max|q|={np.abs(q).max() if len(q) else 0}); rescale the "
+            "embeddings or lower SCALE_BITS"
+        )
+    return q.reshape(n, dim)
+
+
+def _assign(q: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(assignments, min dists) — int64 exact; ties pick the lowest
+    cluster index (np.argmin first-occurrence == SQL ORDER BY dist, cl)."""
+    # loop over k (small) instead of a (n, k, dim) broadcast: bounds
+    # peak memory at one (n, dim) temp per cluster
+    dists = np.empty((q.shape[0], cents.shape[0]), dtype=np.int64)
+    for j in range(cents.shape[0]):
+        d = q - cents[j]
+        dists[:, j] = np.einsum("nd,nd->n", d, d)
+    a = dists.argmin(axis=1)
+    return a.astype(np.int64), dists[np.arange(len(a)), a]
+
+
+class _InitPartial:
+    """Per-block partial for the deterministic init: the block's k
+    smallest ids and their packed quantized vectors (narrow rows)."""
+
+    def __init__(self, k: int, id_col: str, emb_col: str):
+        self.k, self.id_col, self.emb_col = k, id_col, emb_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b.column(self.id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "qvec": pa.array([], pa.binary()),
+            })
+        q = _quantize(b.column(self.emb_col))
+        keep = np.argsort(ids, kind="stable")[: self.k]
+        return pa.table({
+            "vec_id": pa.array(ids[keep].astype(np.int64), pa.int64()),
+            "qvec": pa.array([q[i].tobytes() for i in keep], pa.binary()),
+        })
+
+
+class _SumPartial:
+    """One Lloyd half-step over a block: assign against the broadcast
+    centroids (fetched ONCE per actor) and emit <= k pre-reduced rows
+    (cluster, count, packed per-dim int64 sums)."""
+
+    def __init__(self, cents_ref, id_col: str, emb_col: str):
+        import ray
+
+        self.cents = ray.get(cents_ref)
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "cluster": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "sums": pa.array([], pa.binary()),
+        })
+        if b.num_rows == 0:
+            return empty
+        q = _quantize(b.column(self.emb_col))
+        a, _ = _assign(q, self.cents)
+        clusters = np.unique(a)
+        rows_c, rows_n, rows_s = [], [], []
+        for j in clusters:
+            m = a == j
+            rows_c.append(int(j))
+            rows_n.append(int(m.sum()))
+            rows_s.append(q[m].sum(axis=0, dtype=np.int64).tobytes())
+        return pa.table({
+            "cluster": pa.array(rows_c, pa.int64()),
+            "n": pa.array(rows_n, pa.int64()),
+            "sums": pa.array(rows_s, pa.binary()),
+        })
+
+
+class _Label:
+    """Final labeling pass: (id, cluster, dist_fp) per row."""
+
+    def __init__(self, cents_ref, id_col: str, emb_col: str):
+        import ray
+
+        self.cents = ray.get(cents_ref)
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b.column(self.id_col)
+        if b.num_rows == 0:
+            return pa.table({
+                self.id_col: pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "dist_fp": pa.array([], pa.int64()),
+            })
+        q = _quantize(b.column(self.emb_col))
+        a, d = _assign(q, self.cents)
+        return pa.table({
+            self.id_col: ids,
+            "cluster": pa.array(a, pa.int64()),
+            "dist_fp": pa.array(d, pa.int64()),
+        })
+
+
+def _lloyd_update(cents: np.ndarray, sums: np.ndarray,
+                  counts: np.ndarray) -> np.ndarray:
+    """Centroid update shared by both paths: floor-div means, empty
+    clusters keep their previous centroid."""
+    new = cents.copy()
+    for j in np.flatnonzero(counts):
+        new[j] = _floordiv(sums[j], int(counts[j]))
+    return new
+
+
+def lloyd_kmeans(
+    ds,
+    *,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    concurrency=(1, 8),
+    small_cap_elems: int = 8_000_000,
+):
+    """K Lloyd iterations over an embedding Dataset; returns the
+    labeled Dataset ``(id_col, cluster, dist_fp)`` — ``cluster`` the
+    final nearest-centroid assignment, ``dist_fp`` the exact int64
+    squared fixed-point distance to it.
+
+    Every pass streams (map_batches actor pool, centroids fetched
+    ONCE per actor); the only driver state is the (k x dim) centroid
+    matrix plus per-block pre-reduced partials.  Adaptive small side
+    (the graphrank ``small_p_cap`` pattern): when ``n_rows x dim`` is
+    under ``small_cap_elems`` the quantized matrix is collected once
+    and the identical integer recurrence runs driver-local —
+    bit-identical output (test-pinned), none of the per-iteration Ray
+    job fixed cost.  See the module docstring for the exactness
+    contract; the SQL mirror is ``queries.SQL_KMEANS_CLUSTERS``.
+    """
+    import ray
+
+    n_rows = ds.count()
+    if n_rows == 0:
+        raise ValueError("lloyd_kmeans: empty input dataset")
+    dim = len(ds.take(1)[0][emb_col])
+
+    if n_rows * dim <= small_cap_elems:
+        # ---- small-corpus fast path: same recurrence, driver-local ----
+        tbl = pa.concat_tables([
+            b for b in ds.map_batches(
+                lambda b: b.select([id_col, emb_col]),
+                batch_format="pyarrow",
+            ).iter_batches(batch_format="pyarrow") if b.num_rows
+        ])
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        q = _quantize(tbl.column(emb_col))
+        order = np.argsort(ids, kind="stable")
+        cents = q[order[: min(k, n_rows)]].copy()
+        for _ in range(n_iter):
+            a, _ = _assign(q, cents)
+            counts = np.bincount(a, minlength=len(cents)).astype(np.int64)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, a, q)
+            cents = _lloyd_update(cents, sums, counts)
+        a, d = _assign(q, cents)
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array(ids.astype(np.int64), pa.int64()),
+            "cluster": pa.array(a, pa.int64()),
+            "dist_fp": pa.array(d, pa.int64()),
+        }))
+
+    # ---- deterministic init: k globally-smallest ids ----------------
+    parts = ds.map_batches(
+        _InitPartial,
+        fn_constructor_args=(k, id_col, emb_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).take_all()  # bounded: <= k rows per block
+    parts.sort(key=lambda r: r["vec_id"])
+    seeds = parts[: min(k, len(parts))]
+    cents = np.stack(
+        [np.frombuffer(r["qvec"], dtype=np.int64) for r in seeds]
+    ).astype(np.int64)
+
+    # ---- Lloyd iterations: one streaming pass each -------------------
+    for _ in range(n_iter):
+        cref = ray.put(cents)
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        partials = ds.map_batches(
+            _SumPartial,
+            fn_constructor_args=(cref, id_col, emb_col),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+        # <= k rows per block, pre-reduced map-side
+        for b in partials.iter_batches(batch_format="pyarrow"):
+            for r in b.to_pylist():
+                j = r["cluster"]
+                sums[j] += np.frombuffer(r["sums"], dtype=np.int64)
+                counts[j] += r["n"]
+        cents = _lloyd_update(cents, sums, counts)
+
+    # ---- final labeling pass -----------------------------------------
+    cref = ray.put(cents)
+    return ds.map_batches(
+        _Label,
+        fn_constructor_args=(cref, id_col, emb_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

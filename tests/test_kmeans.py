@@ -1,0 +1,119 @@
+"""Distributed Lloyd's k-means (stages/kmeans.py) — exactness and
+path-equivalence pins.  The full DuckDB mirror equality runs in
+test_queries_vs_duckdb.py via the kmeans_clusters registry entry."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from gocrd_ray.stages import kmeans
+
+
+def _mk_ds(vecs, ids=None, blocks=1):
+    ids = list(range(len(vecs))) if ids is None else ids
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(
+            [list(map(float, v)) for v in vecs],
+            pa.list_(pa.float32()),
+        ),
+    })
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def _brute(vecs, ids, k, n_iter):
+    """Driver-free reference: the module's documented recurrence."""
+    q = np.floor(
+        np.asarray(vecs, dtype=np.float32).astype(np.float64)
+        * (1 << kmeans.SCALE_BITS)
+    ).astype(np.int64)
+    ids = np.asarray(ids, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    cents = q[order[: min(k, len(ids))]].copy()
+    for _ in range(n_iter):
+        d = ((q[:, None, :] - cents[None]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        new = cents.copy()
+        for j in range(len(cents)):
+            m = a == j
+            if m.any():
+                new[j] = np.floor_divide(
+                    q[m].sum(axis=0, dtype=np.int64), int(m.sum())
+                )
+        cents = new
+    d = ((q[:, None, :] - cents[None]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)
+    return ids, a, d[np.arange(len(a)), a]
+
+
+def _run(ds, **kw):
+    out = kmeans.lloyd_kmeans(ds, **kw).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def test_matches_brute_force_and_block_invariant(ray_session):
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-0.5, 0.5, size=(90, 6)).astype(np.float32)
+    ids = rng.permutation(90) * 3 + 1  # non-contiguous, shuffled ids
+    ref_ids, ref_a, ref_d = _brute(vecs, ids, k=5, n_iter=3)
+    ref = {
+        int(i): (int(a), int(d))
+        for i, a, d in zip(ref_ids, ref_a, ref_d)
+    }
+    for blocks in (1, 7):
+        out = _run(_mk_ds(vecs, list(ids), blocks=blocks), k=5, n_iter=3)
+        assert len(out) == 90
+        got = {
+            int(r.vec_id): (int(r.cluster), int(r.dist_fp))
+            for r in out.itertuples()
+        }
+        assert got == ref
+
+
+def test_small_and_distributed_paths_bit_identical(ray_session):
+    rng = np.random.RandomState(3)
+    vecs = rng.uniform(-0.5, 0.5, size=(60, 5)).astype(np.float32)
+    ds = _mk_ds(vecs, blocks=5)
+    small = _run(ds, k=4, n_iter=2)  # default cap -> driver-local
+    dist = _run(ds, k=4, n_iter=2, small_cap_elems=0)  # force actors
+    assert small.equals(dist)
+
+
+def test_empty_cluster_keeps_centroid(ray_session):
+    # two tight groups, k=3: the seed from the third id starts inside
+    # group A, loses all members after iteration 1, and must retain
+    # its (updated-from-nothing) centroid instead of crashing/NaN
+    vecs = [[0.0, 0.0], [0.01, 0.0], [0.02, 0.0],
+            [0.4, 0.4], [0.41, 0.4], [0.42, 0.4]]
+    out = _run(_mk_ds(vecs), k=3, n_iter=3)
+    assert len(out) == 6
+    # both groups end in internally-consistent clusters
+    a = out.cluster.tolist()
+    assert len({a[0], a[1], a[2]}) == 1 or len({a[3], a[4], a[5]}) == 1
+
+
+def test_k_exceeding_corpus_degrades(ray_session):
+    out = _run(_mk_ds([[0.1, 0.2], [0.3, 0.4]]), k=8, n_iter=2)
+    assert len(out) == 2
+    assert set(out.cluster) <= {0, 1}
+
+
+def test_tie_breaks_to_lowest_cluster(ray_session):
+    # a point equidistant from two identical centroids must take the
+    # lower cluster index (the SQL ORDER BY dist, cl contract)
+    vecs = [[0.1, 0.1], [0.1, 0.1], [0.1, 0.1]]
+    out = _run(_mk_ds(vecs), k=2, n_iter=1)
+    assert out.cluster.tolist() == [0, 0, 0]
+
+
+def test_overflow_guard_is_loud(ray_session):
+    ds = _mk_ds([[4096.0, 0.0]])  # |q| = 2^32 > 2^31 guard
+    with pytest.raises(Exception, match="overflow guard"):
+        kmeans.lloyd_kmeans(ds, k=1, n_iter=1).take_all()
+
+
+def test_empty_input_is_loud(ray_session):
+    ds = _mk_ds([[0.1, 0.2]]).filter(lambda r: False)
+    with pytest.raises(ValueError, match="empty input"):
+        kmeans.lloyd_kmeans(ds, k=2, n_iter=1)
