@@ -3660,31 +3660,97 @@ def _km_sql_iter(prev: str, cur: str) -> str:
 )"""
 
 
-SQL_KMEANS_CLUSTERS = (
-    """
-WITH q AS (
+def _km_sql_core(src: str) -> str:
+    """The shared kmeans CTE chain over source relation ``src``
+    (must expose vec_id, embedding): quantize -> init -> 3 unrolled
+    Lloyd iterations -> final assignment CTE ``af(vec_id, cl, dist)``."""
+    return (
+        f"""q AS (
   SELECT vec_id, d, CAST(FLOOR(CAST(e AS DOUBLE) * 1048576) AS BIGINT)
            AS v
   FROM (SELECT vec_id, unnest(embedding) AS e,
                generate_subscripts(embedding, 1) AS d
-        FROM embeddings)
+        FROM {src})
 ), init AS (
   SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
-  FROM embeddings ORDER BY vec_id LIMIT 8
+  FROM {src} ORDER BY vec_id LIMIT 8
 ), c0 AS (
   SELECT i.cl, q.d, q.v FROM q JOIN init i USING (vec_id)
 )"""
-    + _km_sql_iter("0", "1")
-    + _km_sql_iter("1", "2")
-    + _km_sql_iter("2", "3")
-    + """, distF AS (
+        + _km_sql_iter("0", "1")
+        + _km_sql_iter("1", "2")
+        + _km_sql_iter("2", "3")
+        + """, distF AS (
   SELECT q.vec_id, c.cl, SUM((q.v - c.v) * (q.v - c.v))::BIGINT AS dist
   FROM q JOIN c3 c USING (d) GROUP BY q.vec_id, c.cl
+), af AS (
+  SELECT vec_id, cl, dist FROM (
+    SELECT vec_id, cl, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl)
+             AS rn
+    FROM distF) WHERE rn = 1
+)"""
+    )
+
+
+SQL_KMEANS_CLUSTERS = (
+    "WITH " + _km_sql_core("embeddings") + """
+SELECT vec_id, cl AS cluster, dist AS dist_fp FROM af
+"""
 )
-SELECT vec_id, cl AS cluster, dist AS dist_fp FROM (
-  SELECT vec_id, cl, dist,
-         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
-  FROM distF) WHERE rn = 1
+
+
+def q_semantic_dedup_kmeans(sf_dir: str):
+    """SemDeDup with the EXACT fixed-point k-means partition
+    (stages/kmeans.py semdedup_kmeans): the full paper pipeline —
+    k-means cluster, then within-cluster drop-if-similar-to-an-
+    earlier-item, earlier = closer to the centroid (exact int64
+    dist_fp asc, ties by id) — now ENTIRELY SQL-mirrorable, unlike
+    q_semantic_dedup whose sampled float centroids are rows-only.
+    Same dup-injected corpus as q_semantic_dedup (random synthetic
+    embeddings have no natural near-dups); output projected
+    float-free to (vec_id, cluster, keep)."""
+    from ..stages import kmeans
+
+    def dup_some(b: pa.Table) -> pa.Table:
+        sel = b.filter(pc.less(b.column("vec_id"), 20))
+        dup = pa.table(
+            {
+                "vec_id": pc.add(sel.column("vec_id"), 100000),
+                "embedding": sel.column("embedding"),
+            }
+        )
+        base = pa.table(
+            {"vec_id": b.column("vec_id"), "embedding": b.column("embedding")}
+        )
+        return pa.concat_tables([base, dup])
+
+    corpus = _emb(sf_dir).map_batches(dup_some, batch_format="pyarrow")
+    return kmeans.semdedup_kmeans(corpus, threshold=0.95, k=8, n_iter=3)
+
+
+SQL_SEMANTIC_DEDUP_KMEANS = (
+    """
+WITH all_e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20
+), """
+    + _km_sql_core("all_e")
+    + """, prior AS (
+  SELECT a.vec_id,
+         max(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                    eb.embedding::DOUBLE[])) AS mps
+  FROM af a JOIN af b
+    ON b.cl = a.cl
+   AND (b.dist < a.dist OR (b.dist = a.dist AND b.vec_id < a.vec_id))
+  JOIN all_e ea ON ea.vec_id = a.vec_id
+  JOIN all_e eb ON eb.vec_id = b.vec_id
+  GROUP BY a.vec_id
+)
+SELECT a.vec_id, a.cl AS cluster,
+       (p.mps IS NULL OR p.mps <= 0.95) AS keep
+FROM af a LEFT JOIN prior p USING (vec_id)
 """
 )
 
@@ -4012,6 +4078,9 @@ QUERIES = {
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
+    "semantic_dedup_kmeans": (
+        q_semantic_dedup_kmeans, SQL_SEMANTIC_DEDUP_KMEANS
+    ),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),

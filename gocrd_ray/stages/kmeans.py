@@ -192,7 +192,7 @@ def _lloyd_update(cents: np.ndarray, sums: np.ndarray,
     return new
 
 
-def lloyd_kmeans(
+def fit_kmeans(
     ds,
     *,
     k: int = 8,
@@ -201,11 +201,9 @@ def lloyd_kmeans(
     emb_col: str = "embedding",
     concurrency=(1, 8),
     small_cap_elems: int = 8_000_000,
-):
+) -> np.ndarray:
     """K Lloyd iterations over an embedding Dataset; returns the
-    labeled Dataset ``(id_col, cluster, dist_fp)`` — ``cluster`` the
-    final nearest-centroid assignment, ``dist_fp`` the exact int64
-    squared fixed-point distance to it.
+    final (k x dim) int64 fixed-point centroid matrix.
 
     Every pass streams (map_batches actor pool, centroids fetched
     ONCE per actor); the only driver state is the (k x dim) centroid
@@ -215,10 +213,8 @@ def lloyd_kmeans(
     and the identical integer recurrence runs driver-local —
     bit-identical output (test-pinned), none of the per-iteration Ray
     job fixed cost.  See the module docstring for the exactness
-    contract; the SQL mirror is ``queries.SQL_KMEANS_CLUSTERS``.
+    contract.
     """
-    import ray
-
     n_rows = ds.count()
     if n_rows == 0:
         raise ValueError("lloyd_kmeans: empty input dataset")
@@ -242,12 +238,9 @@ def lloyd_kmeans(
             sums = np.zeros_like(cents)
             np.add.at(sums, a, q)
             cents = _lloyd_update(cents, sums, counts)
-        a, d = _assign(q, cents)
-        return ray.data.from_arrow(pa.table({
-            id_col: pa.array(ids.astype(np.int64), pa.int64()),
-            "cluster": pa.array(a, pa.int64()),
-            "dist_fp": pa.array(d, pa.int64()),
-        }))
+        return cents
+
+    import ray
 
     # ---- deterministic init: k globally-smallest ids ----------------
     parts = ds.map_batches(
@@ -280,12 +273,139 @@ def lloyd_kmeans(
                 sums[j] += np.frombuffer(r["sums"], dtype=np.int64)
                 counts[j] += r["n"]
         cents = _lloyd_update(cents, sums, counts)
+    return cents
 
-    # ---- final labeling pass -----------------------------------------
+
+def lloyd_kmeans(ds, *, k: int = 8, n_iter: int = 3,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 concurrency=(1, 8), small_cap_elems: int = 8_000_000):
+    """``fit_kmeans`` + one streaming labeling pass; returns the
+    labeled Dataset ``(id_col, cluster, dist_fp)`` — ``cluster`` the
+    final nearest-centroid assignment, ``dist_fp`` the exact int64
+    squared fixed-point distance to it.  SQL mirror:
+    ``queries.SQL_KMEANS_CLUSTERS``."""
+    import ray
+
+    cents = fit_kmeans(
+        ds, k=k, n_iter=n_iter, id_col=id_col, emb_col=emb_col,
+        concurrency=concurrency, small_cap_elems=small_cap_elems,
+    )
     cref = ray.put(cents)
     return ds.map_batches(
         _Label,
         fn_constructor_args=(cref, id_col, emb_col),
         batch_format="pyarrow",
         concurrency=concurrency,
+    )
+
+
+class _LabelWithEmb:
+    """Labeling pass that keeps the embedding column — feeds the
+    within-cluster SemDeDup group stage."""
+
+    def __init__(self, cents_ref, id_col: str, emb_col: str):
+        import ray
+
+        self.cents = ray.get(cents_ref)
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        dim = self.cents.shape[1]
+        if b.num_rows == 0:
+            return pa.table({
+                self.id_col: pa.array([], pa.int64()),
+                self.emb_col: pa.array([], pa.list_(pa.float32())),
+                "cluster": pa.array([], pa.int64()),
+                "dist_fp": pa.array([], pa.int64()),
+            })
+        q = _quantize(b.column(self.emb_col))
+        assert q.shape[1] == dim
+        a, d = _assign(q, self.cents)
+        emb = b.column(self.emb_col)
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table({
+            self.id_col: b.column(self.id_col),
+            self.emb_col: emb,
+            "cluster": pa.array(a, pa.int64()),
+            "dist_fp": pa.array(d, pa.int64()),
+        })
+
+
+def semdedup_kmeans(
+    ds,
+    *,
+    threshold: float = 0.95,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    concurrency=(1, 8),
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) with the EXACT
+    fixed-point k-means partition: cluster with ``fit_kmeans``, then
+    within each cluster drop every item whose cosine similarity to an
+    EARLIER item exceeds ``threshold``.  "Earlier" = closer to the
+    centroid first — here the exact int64 ``dist_fp`` ascending, ties
+    by id — so the partition AND the visit order are both
+    deterministic integers, which makes the ENTIRE SemDeDup pipeline
+    SQL-mirrorable (``similarity.semantic_dedup``'s k-means form is
+    rows-only because its sampled float centroids aren't; the grid
+    form mirrors but fixes the partition).  The float cosine is only
+    COMPARED against the threshold; callers keep the output
+    float-free (id, cluster, keep) so the mirror is robust to
+    last-ulp engine differences.
+
+    Scale shape: fit is n_iter streaming passes (see ``fit_kmeans``);
+    assignment is one streaming pass; the ONE shuffle is the groupby
+    on cluster id, and the O(m²) similarity matrix is per cluster —
+    bounded by choosing k ∝ corpus size, exactly as the paper runs
+    50k clusters for LAION-440M.
+    """
+    import ray
+
+    cents = fit_kmeans(
+        ds, k=k, n_iter=n_iter, id_col=id_col, emb_col=emb_col,
+        concurrency=concurrency,
+    )
+    cref = ray.put(cents)
+    assigned = ds.map_batches(
+        _LabelWithEmb,
+        fn_constructor_args=(cref, id_col, emb_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def dedup_cluster(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        dist = group.column("dist_fp").to_numpy(zero_copy_only=False)
+        flat = group.column(emb_col)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        x = flat.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(len(ids), -1)
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0] = 1.0
+        x = x / norms[:, None]
+        order = np.lexsort((ids, dist))  # dist_fp asc, ties by id
+        xo = x[order]
+        m = len(order)
+        sims = xo @ xo.T
+        iu = np.triu_indices(m, k=1)
+        upper = np.full((m, m), -np.inf)
+        upper[iu] = sims[iu]
+        max_prior = upper.max(axis=0) if m > 1 else np.full(m, -np.inf)
+        max_prior[0] = -np.inf
+        keep = ~(max_prior > threshold)
+        cluster = group.column("cluster").to_numpy(
+            zero_copy_only=False)[0]
+        return pa.table({
+            id_col: pa.array(ids[order].astype(np.int64), pa.int64()),
+            "cluster": pa.array(
+                np.full(m, cluster, dtype=np.int64), pa.int64()),
+            "keep": pa.array(keep, pa.bool_()),
+        })
+
+    return assigned.groupby("cluster").map_groups(
+        dedup_cluster, batch_format="pyarrow"
     )

@@ -117,3 +117,40 @@ def test_empty_input_is_loud(ray_session):
     ds = _mk_ds([[0.1, 0.2]]).filter(lambda r: False)
     with pytest.raises(ValueError, match="empty input"):
         kmeans.lloyd_kmeans(ds, k=2, n_iter=1)
+
+
+def test_semdedup_kmeans_drops_exact_duplicates(ray_session):
+    rng = np.random.RandomState(11)
+    vecs = rng.uniform(-0.5, 0.5, size=(40, 8)).astype(np.float32)
+    # random vectors never reach 0.95 cosine; inject exact dups of the
+    # first 6 under new ids — exactly one of each pair must survive
+    all_vecs = np.concatenate([vecs, vecs[:6]])
+    ids = list(range(40)) + [100 + i for i in range(6)]
+    out = kmeans.semdedup_kmeans(
+        _mk_ds(all_vecs, ids, blocks=4), threshold=0.95, k=4, n_iter=2
+    ).to_pandas()
+    assert len(out) == 46
+    dropped = set(out[~out.keep].vec_id)
+    # the duplicate has identical dist_fp; tie-break by id keeps the
+    # ORIGINAL (smaller id) and drops the +100 copy
+    assert dropped == {100 + i for i in range(6)}
+
+
+def test_semdedup_kmeans_all_kept_without_dups(ray_session):
+    rng = np.random.RandomState(5)
+    vecs = rng.uniform(-0.5, 0.5, size=(30, 8)).astype(np.float32)
+    out = kmeans.semdedup_kmeans(
+        _mk_ds(vecs, blocks=3), threshold=0.95, k=4, n_iter=2
+    ).to_pandas()
+    assert len(out) == 30 and out.keep.all()
+
+
+def test_semdedup_kmeans_clusters_match_lloyd(ray_session):
+    # the partition must be exactly lloyd_kmeans' assignment
+    rng = np.random.RandomState(9)
+    vecs = rng.uniform(-0.5, 0.5, size=(50, 6)).astype(np.float32)
+    ds = _mk_ds(vecs, blocks=4)
+    sd = kmeans.semdedup_kmeans(ds, k=3, n_iter=2).to_pandas()
+    km = kmeans.lloyd_kmeans(ds, k=3, n_iter=2).to_pandas()
+    merged = sd.merge(km, on="vec_id", suffixes=("_sd", "_km"))
+    assert (merged.cluster_sd == merged.cluster_km).all()
