@@ -3755,6 +3755,52 @@ FROM af a LEFT JOIN prior p USING (vec_id)
 )
 
 
+def q_knn_ivf_fixed(sf_dir: str):
+    """IVF approximate top-k whose coarse quantizer is the EXACT
+    fixed-point k-means (stages/kmeans.py ivf_topk_fixed): 8 buckets,
+    probe the 2 centroid-closest per query.  Unlike q_knn_ivf
+    (sampled float centroids — rows-only), the approximation itself —
+    including which true neighbors it misses — is deterministic
+    integer arithmetic, so the approximate result is bit-mirrorable
+    in SQL: the mirror reuses the kmeans CTE chain's distF table as
+    the probe ranking (queries are corpus rows) and brute-forces
+    cosine inside the probed buckets only."""
+    from ..stages import kmeans
+
+    return kmeans.ivf_topk_fixed(
+        _emb(sf_dir), [0, 1, 2, 3, 4], k=10,
+        n_buckets=8, n_iter=3, n_probe=2,
+    )
+
+
+SQL_KNN_IVF_FIXED = (
+    "WITH " + _km_sql_core("embeddings") + """
+, probes AS (
+  SELECT vec_id AS query_id, cl
+  FROM (SELECT vec_id, cl, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl)
+                 AS rn
+        FROM distF) WHERE rn <= 2 AND vec_id < 5
+), qv AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, e.embedding
+  FROM probes p JOIN af a ON a.cl = p.cl
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE a.vec_id != p.query_id
+)
+SELECT c.query_id, c.neighbor_id,
+       row_number() OVER (
+         PARTITION BY c.query_id
+         ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                         c.embedding::DOUBLE[]) DESC,
+                  c.neighbor_id ASC) AS rank
+FROM cand c JOIN qv q USING (query_id)
+QUALIFY rank <= 10
+"""
+)
+
+
 def q_train_shuffle(sf_dir: str):
     """Deterministic global training shuffle — the shuffle-before-
     sequence-packing step: every doc gets a pseudorandom but
@@ -4081,6 +4127,7 @@ QUERIES = {
     "semantic_dedup_kmeans": (
         q_semantic_dedup_kmeans, SQL_SEMANTIC_DEDUP_KMEANS
     ),
+    "knn_ivf_fixed": (q_knn_ivf_fixed, SQL_KNN_IVF_FIXED),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),

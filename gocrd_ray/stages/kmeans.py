@@ -409,3 +409,143 @@ def semdedup_kmeans(
     return assigned.groupby("cluster").map_groups(
         dedup_cluster, batch_format="pyarrow"
     )
+
+
+def ivf_topk_fixed(
+    ds,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    n_buckets: int = 8,
+    n_iter: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    concurrency=(1, 8),
+):
+    """IVF approximate top-k with the EXACT fixed-point k-means coarse
+    quantizer (Jégou et al. 2011 structure): bucket every vector by
+    ``fit_kmeans`` assignment, probe only the ``n_probe`` buckets whose
+    centroids are closest to each query (int64 distance, ties by
+    cluster id), brute-force cosine inside the probed buckets.
+
+    Unlike ``similarity.ivf_topk`` (sampled float centroids —
+    rows-only w.r.t. SQL), every branch of THIS approximation is
+    deterministic integer arithmetic, so the approximate result
+    itself — including which true neighbors it misses — is
+    bit-mirrorable in SQL (``queries.SQL_KNN_IVF_FIXED``).
+
+    Scale shape: fit is n_iter streaming passes; bucketing is one
+    streaming pass; scoring is one streaming pass with the query
+    matrix broadcast once and per-block local top-(k+1); the ONE
+    shuffle is the tiny (query_id-keyed) candidate merge.
+    """
+    import ray
+
+    cents = fit_kmeans(
+        ds, k=n_buckets, n_iter=n_iter, id_col=id_col, emb_col=emb_col,
+        concurrency=concurrency,
+    )
+    cref = ray.put(cents)
+    bucketed = ds.map_batches(
+        _LabelWithEmb,
+        fn_constructor_args=(cref, id_col, emb_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    # fetch ONLY the query vectors (the similarity.ivf_topk pattern:
+    # filtered map then take_all of a handful of rows)
+    import pyarrow.compute as pc
+
+    def grab(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch.column(id_col), value_set=pa.array(query_ids))
+        )
+
+    qrows = ds.map_batches(grab, batch_format="pyarrow").take_all()
+    qrows.sort(key=lambda r: query_ids.index(r[id_col]))
+    qids = [r[id_col] for r in qrows]
+    qraw = np.array([r[emb_col] for r in qrows], dtype=np.float64)
+    qq = np.floor(qraw * _SCALE).astype(np.int64)
+    # probe order per query: int64 distance asc, ties by cluster id asc
+    probes = np.empty((len(qids), n_probe), dtype=np.int64)
+    for i in range(len(qids)):
+        dists = np.einsum(
+            "kd,kd->k", qq[i] - cents, qq[i] - cents
+        )
+        probes[i] = np.argsort(dists, kind="stable")[:n_probe]
+    norms = np.linalg.norm(qraw, axis=1)
+    norms[norms == 0] = 1.0
+    qmat = qraw / norms[:, None]
+    qref = ray.put((qids, qmat, probes))
+
+    class _Score:
+        def __init__(self, qref, id_col, emb_col, k):
+            import ray
+
+            self.qids, self.qmat, self.probes = ray.get(qref)
+            self.id_col, self.emb_col, self.k = id_col, emb_col, k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_q, out_v, out_s = [], [], []
+            if batch.num_rows:
+                ids = batch.column(self.id_col).to_numpy(
+                    zero_copy_only=False)
+                buckets = batch.column("cluster").to_numpy(
+                    zero_copy_only=False)
+                flat = batch.column(self.emb_col)
+                if isinstance(flat, pa.ChunkedArray):
+                    flat = flat.combine_chunks()
+                x = flat.flatten().to_numpy(zero_copy_only=False).astype(
+                    np.float64).reshape(len(ids), -1)
+                nm = np.linalg.norm(x, axis=1)
+                nm[nm == 0] = 1.0
+                x = x / nm[:, None]
+                for qi, qid in enumerate(self.qids):
+                    mask = np.isin(buckets, self.probes[qi])
+                    if not mask.any():
+                        continue
+                    row = self.qmat[qi] @ x[mask].T
+                    sub_ids = ids[mask]
+                    kk = min(self.k + 1, row.shape[0])
+                    order = np.lexsort((sub_ids, -row))[:kk]
+                    out_q.extend([qid] * len(order))
+                    out_v.extend(sub_ids[order].tolist())
+                    out_s.extend(row[order].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            })
+
+    local = bucketed.map_batches(
+        _Score,
+        fn_constructor_args=(qref, id_col, emb_col, k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        rows.sort(key=lambda r: (-r["sim"], r["vec_id"]))
+        qid = rows[0]["query_id"]
+        out = []
+        rank = 0
+        for r in rows:
+            if r["vec_id"] == qid:
+                continue
+            rank += 1
+            if rank > k:
+                break
+            out.append({
+                "query_id": qid, "neighbor_id": r["vec_id"], "rank": rank,
+            })
+        return pa.Table.from_pylist(out, schema=pa.schema([
+            ("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+            ("rank", pa.int64()),
+        ]))
+
+    return local.groupby("query_id").map_groups(
+        merge, batch_format="pyarrow"
+    )

@@ -154,3 +154,43 @@ def test_semdedup_kmeans_clusters_match_lloyd(ray_session):
     km = kmeans.lloyd_kmeans(ds, k=3, n_iter=2).to_pandas()
     merged = sd.merge(km, on="vec_id", suffixes=("_sd", "_km"))
     assert (merged.cluster_sd == merged.cluster_km).all()
+
+
+def test_ivf_fixed_full_probe_equals_brute_force(ray_session):
+    from gocrd_ray.stages import similarity
+
+    rng = np.random.RandomState(21)
+    vecs = rng.uniform(-0.5, 0.5, size=(80, 8)).astype(np.float32)
+    ds = _mk_ds(vecs, blocks=4)
+    ivf = kmeans.ivf_topk_fixed(
+        ds, [0, 1, 2], k=5, n_buckets=4, n_iter=2, n_probe=4
+    ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    bf = similarity.brute_force_topk(ds, [0, 1, 2], k=5).to_pandas()
+    bf = bf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert ivf[["query_id", "neighbor_id", "rank"]].equals(
+        bf[["query_id", "neighbor_id", "rank"]]
+    )
+
+
+def test_ivf_fixed_partial_probe_is_deterministic_subset(ray_session):
+    rng = np.random.RandomState(22)
+    vecs = rng.uniform(-0.5, 0.5, size=(80, 8)).astype(np.float32)
+    ds = _mk_ds(vecs, blocks=4)
+    a = kmeans.ivf_topk_fixed(
+        ds, [0, 1], k=5, n_buckets=4, n_iter=2, n_probe=2
+    ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = kmeans.ivf_topk_fixed(
+        _mk_ds(vecs, blocks=9), [0, 1], k=5, n_buckets=4, n_iter=2,
+        n_probe=2,
+    ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    # block-layout invariant (the approximation is a function of the
+    # data, not the partitioning)
+    assert a.equals(b)
+    # every returned neighbor lives in a probed bucket of its query
+    labels = kmeans.lloyd_kmeans(
+        ds, k=4, n_iter=2
+    ).to_pandas().set_index("vec_id").cluster
+    for qid in (0, 1):
+        got = a[a.query_id == qid].neighbor_id
+        assert len(got) == 5
+        assert len(set(labels[got])) <= 2
