@@ -90,6 +90,9 @@ QUERY_NAMES = [
     "train_shuffle",
     "bpe_merges",
     "bpe_token_counts",
+    "kmeans_clusters",
+    "semantic_dedup_kmeans",
+    "knn_ivf_fixed",
 ]
 
 
