@@ -93,6 +93,9 @@ QUERY_NAMES = [
     "kmeans_clusters",
     "semantic_dedup_kmeans",
     "knn_ivf_fixed",
+    "token_entropy",
+    "nb_quality",
+    "ccnet_buckets",
 ]
 
 

@@ -4074,6 +4074,197 @@ def q_bpe_token_counts(sf_dir: str):
     return bpe.encode_token_counts(_docs(sf_dir), merges)
 
 
+def q_token_entropy(sf_dir: str):
+    """Per-document unigram Shannon entropy (token-diversity /
+    repetition quality signal) as order-free int64 fixed point — pure
+    streaming map, zero shuffle (stages/text_stats.py entropy_batch)."""
+    from ..stages import text_stats
+
+    return text_stats.token_entropy(_docs(sf_dir))
+
+
+SQL_TOKEN_ENTROPY = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS tok
+  FROM documents
+), tc AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+), agg AS (
+  SELECT doc_id,
+         sum(c)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS n_types,
+         sum(c * CAST(floor(1e7 * ln(c)) AS BIGINT))::BIGINT AS sum_clnc
+  FROM tc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types,
+       (n_tokens * CAST(floor(1e7 * ln(n_tokens)) AS BIGINT)
+        - sum_clnc)::BIGINT AS entropy_fp,
+       (n_tokens * CAST(floor(1e7 * ln(n_tokens)) AS BIGINT)
+        - sum_clnc) / (1e7 * n_tokens) AS entropy
+FROM agg
+"""
+
+
+# The curated sources standing in for the positive (high-quality)
+# class of the GPT-3-style NB quality classifier — must stay in sync
+# with the IN lists of SQL_NB_QUALITY.
+NB_POS_SOURCES = ("src0", "src5", "src10", "src15")
+
+
+def q_nb_quality(sf_dir: str):
+    """GPT-3-style curated-vs-crawl quality classifier (Brown et al.
+    2020 §A): Naive-Bayes log-odds over hashed unigram buckets, scored
+    corpus-wide, with the paper's Pareto(9) randomized keep rule made
+    deterministic per doc_id — see stages/nbq.py for the exactness
+    contract (integer-ln terms, softsign calibration, pow-free Pareto
+    comparison) and the zero-shuffle scale shape."""
+    from ..stages import nbq
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def src_filter(positive: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.is_in(
+                b.column("source"), value_set=pa.array(NB_POS_SOURCES)
+            )
+            return b.filter(m if positive else pc.invert(m))
+
+        return f
+
+    pos = docs.map_batches(src_filter(True), batch_format="pyarrow")
+    neg = docs.map_batches(src_filter(False), batch_format="pyarrow")
+    return nbq.nb_quality_filter(docs, pos, neg)
+
+
+_NB_POS_IN = ", ".join(f"'{s}'" for s in NB_POS_SOURCES)
+
+SQL_NB_QUALITY = f"""
+WITH feats AS (
+  SELECT doc_id, source, substr(md5(tok), 1, 3) AS b
+  FROM (SELECT doc_id, source,
+               unnest(string_split(COALESCE(text, ''), ' ')) AS tok
+        FROM documents)
+), pch AS (
+  SELECT b, count(*) AS n FROM feats
+  WHERE source IN ({_NB_POS_IN}) GROUP BY b
+), nch AS (
+  SELECT b, count(*) AS n FROM feats
+  WHERE source NOT IN ({_NB_POS_IN}) GROUP BY b
+), tot AS (
+  SELECT (SELECT COALESCE(sum(n), 0) FROM pch) AS np,
+         (SELECT COALESCE(sum(n), 0) FROM nch) AS nn
+), dc AS (
+  SELECT (SELECT count(*) FROM documents
+          WHERE source IN ({_NB_POS_IN})) AS dp,
+         (SELECT count(*) FROM documents
+          WHERE source NOT IN ({_NB_POS_IN})) AS dn
+), term AS (
+  SELECT COALESCE(p.b, q.b) AS b,
+         CAST(floor(1e7 * ln(COALESCE(p.n, 0) + 1)) AS BIGINT)
+         - CAST(floor(1e7 * ln(COALESCE(q.n, 0) + 1)) AS BIGINT)
+         - (CAST(floor(1e7 * ln(np + 4096)) AS BIGINT)
+            - CAST(floor(1e7 * ln(nn + 4096)) AS BIGINT)) AS t
+  FROM pch p FULL JOIN nch q ON p.b = q.b, tot
+), df AS (
+  SELECT doc_id, b, count(*) AS c FROM feats GROUP BY doc_id, b
+), agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens, sum(c * t)::BIGINT AS sfp
+  FROM df JOIN term USING (b) GROUP BY doc_id
+), sc AS (
+  SELECT doc_id, n_tokens,
+         (sfp + CAST(floor(1e7 * ln(dp)) AS BIGINT)
+              - CAST(floor(1e7 * ln(dn)) AS BIGINT))::BIGINT AS score_fp
+  FROM agg, dc
+), k1 AS (
+  SELECT doc_id, n_tokens, score_fp,
+         score_fp / (1e7 * n_tokens) AS a
+  FROM sc
+), k2 AS (SELECT *, 0.5 + a / (2.0 * (1.0 + abs(a))) AS s FROM k1
+), k3 AS (SELECT *, 2.0 - s AS t FROM k2
+), k4 AS (SELECT *, t * t AS t2 FROM k3
+), k5 AS (SELECT *, t2 * t2 AS t4 FROM k4
+), k6 AS (SELECT *, t4 * t4 AS t8 FROM k5
+), k7 AS (
+  SELECT *, (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+            / 4294967296.0 AS u
+  FROM k6
+)
+SELECT doc_id, n_tokens, score_fp, (u * (t * t8) < 1.0) AS keep FROM k7
+"""
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail per-language perplexity terciles (Wenzek
+    et al. 2020 §4.4) — the highest-quality-third cut CCNet ships.
+    Exact quantile_disc boundaries from a histogram-refine scheme
+    (zero shuffle; see stages/ccnet.py)."""
+    from ..stages import ccnet
+
+    return ccnet.ccnet_buckets(
+        _docs(sf_dir, columns=("doc_id", "text", "lang"))
+    )
+
+
+SQL_CCNET_BUCKETS = """
+WITH train AS (
+  SELECT string_split(COALESCE(text, ''), ' ') AS l FROM documents
+  WHERE substr(md5(doc_id::VARCHAR), 1, 8) < '28f5c28f'
+), uni AS (
+  SELECT tok, count(*) AS c1
+  FROM (SELECT unnest(l) AS tok FROM train) GROUP BY tok
+), vsize AS (
+  SELECT count(*) AS v FROM uni
+), big AS (
+  SELECT bg, count(*) AS c12
+  FROM (
+    SELECT l[s] || chr(31) || l[s + 1] AS bg
+    FROM (SELECT l, unnest(range(1, len(l))) AS s
+          FROM train WHERE len(l) >= 2)
+  ) GROUP BY bg
+), dbig AS (
+  SELECT doc_id, l[s] AS w1, l[s] || chr(31) || l[s + 1] AS bg
+  FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS s
+        FROM (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS l
+              FROM documents)
+        WHERE len(l) >= 2)
+), terms AS (
+  SELECT doc_id,
+    CAST(floor(1e7 * ln(COALESCE(b.c12, 0) + 1)) AS BIGINT)
+    - CAST(floor(1e7 * ln(COALESCE(u.c1, 0) + (SELECT v FROM vsize)))
+           AS BIGINT) AS t
+  FROM dbig LEFT JOIN big b USING (bg) LEFT JOIN uni u ON dbig.w1 = u.tok
+), lmagg AS (
+  SELECT doc_id, count(*) AS n, sum(t) AS s FROM terms GROUP BY doc_id
+), keyed AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN a.n IS NULL THEN 0
+              ELSE ((-a.s * 1000)
+                    - ((((-a.s * 1000) % a.n) + a.n) % a.n)) // a.n
+         END::BIGINT AS ppl_key
+  FROM documents d LEFT JOIN lmagg a USING (doc_id)
+), nl AS (
+  SELECT lang, count(*) AS n FROM keyed GROUP BY lang
+), ranked AS (
+  SELECT lang, ppl_key,
+         row_number() OVER (PARTITION BY lang ORDER BY ppl_key, doc_id)
+           AS rn
+  FROM keyed
+), cut AS (
+  SELECT r.lang,
+         max(CASE WHEN rn = CAST(ceil((1.0 / 3.0) * n) AS BIGINT)
+                  THEN ppl_key END) AS v1,
+         max(CASE WHEN rn = CAST(ceil((2.0 / 3.0) * n) AS BIGINT)
+                  THEN ppl_key END) AS v2
+  FROM ranked r JOIN nl USING (lang) GROUP BY r.lang
+)
+SELECT k.doc_id, k.lang, k.ppl_key,
+       CASE WHEN k.ppl_key <= c.v1 THEN 'head'
+            WHEN k.ppl_key <= c.v2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM keyed k JOIN cut c USING (lang)
+"""
+
+
 # Registry order is deliberate: the driver samples the FIRST 50 entries
 # per round for its DuckDB side-by-side, so the window leads with
 #   (a) the 25 queries that had never received a driver oracle row
@@ -4128,6 +4319,9 @@ QUERIES = {
         q_semantic_dedup_kmeans, SQL_SEMANTIC_DEDUP_KMEANS
     ),
     "knn_ivf_fixed": (q_knn_ivf_fixed, SQL_KNN_IVF_FIXED),
+    "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
+    "nb_quality": (q_nb_quality, SQL_NB_QUALITY),
+    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),

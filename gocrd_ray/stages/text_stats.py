@@ -475,3 +475,68 @@ def chunk_stride(ds, *, size: int = 200, stride: int = 150,
         )
 
     return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def entropy_batch(batch: pa.Table, *, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Per-document unigram Shannon entropy as an order-free int64
+    fixed-point value (token-diversity / repetition quality signal —
+    the "unigram entropy filter" family of pretraining hygiene
+    stacks).
+
+    With per-doc token count n and within-doc type counts c_t,
+
+        H = ln(n) - (1/n) * sum_t c_t * ln(c_t)
+
+    is computed as the integer
+
+        entropy_fp = n * floor(1e7*ln(n)) - sum_t c_t * floor(1e7*ln(c_t))
+
+    so per-document values are exact int64 regardless of summation
+    order (the lm.py integer-ln contract; ``ln`` over integer-valued
+    doubles is the same libm call in numpy-land and DuckDB).  The
+    float view ``entropy = entropy_fp / (1e7 * n)`` is one division on
+    both sides.  A doc of n identical tokens gets entropy_fp 0; NULL
+    text tokenizes to [''] (n=1, entropy 0) like every other text
+    stage.
+
+    Pure per-row math — zero shuffle at any scale.
+    """
+    from .lm import _fp_ln, _tokens
+
+    _, flat, parents = _tokens(batch.column(text_col))
+    n = len(batch)
+    n_tok = np.bincount(parents, minlength=n).astype(np.int64)
+    vals = np.asarray(flat.to_pylist(), dtype=object)
+    if len(vals):
+        uniq, tok_ids = np.unique(vals, return_inverse=True)
+        key = parents.astype(np.int64) * np.int64(len(uniq)) + tok_ids
+        pair, c = np.unique(key, return_counts=True)
+        pair_parent = (pair // np.int64(len(uniq))).astype(np.int64)
+        n_types = np.bincount(pair_parent, minlength=n).astype(np.int64)
+        sum_clnc = np.zeros(n, dtype=np.int64)
+        np.add.at(sum_clnc, pair_parent, c * _fp_ln(c))
+    else:
+        n_types = np.zeros(n, dtype=np.int64)
+        sum_clnc = np.zeros(n, dtype=np.int64)
+    # n_tok >= 1 always ('' tokenizes to ['']), so _fp_ln is defined
+    # and the float division below never sees 0
+    ent_fp = n_tok * _fp_ln(np.maximum(n_tok, 1)) - sum_clnc
+    return pa.table(
+        {
+            id_col: pc.cast(batch.column(id_col), pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_types": pa.array(n_types, pa.int64()),
+            "entropy_fp": pa.array(ent_fp, pa.int64()),
+            "entropy": pa.array(ent_fp / (1e7 * n_tok), pa.float64()),
+        }
+    )
+
+
+def token_entropy(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset of (id, n_tokens, n_types, entropy_fp, entropy) — see
+    :func:`entropy_batch`.  Streaming map, no shuffle."""
+    return ds.map_batches(
+        lambda b: entropy_batch(b, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+    )
