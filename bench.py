@@ -96,6 +96,7 @@ QUERY_NAMES = [
     "token_entropy",
     "nb_quality",
     "ccnet_buckets",
+    "host_components",
 ]
 
 

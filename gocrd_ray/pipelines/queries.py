@@ -4265,6 +4265,71 @@ FROM keyed k JOIN cut c USING (lang)
 """
 
 
+def q_host_components(sf_dir: str):
+    """Site-level clustering of the web HOST graph (connected
+    components over link edges) — the web-graph analysis behind
+    mirror-site / link-farm detection in crawl curation.  Edges are a
+    deterministic sparse projection of the corpus: the doc on host
+    ``doc_id % 50`` links to host ``decade(src) + (src%10 + 1 +
+    doc_id%4) % 10`` — links stay inside each decade of hosts, so the
+    graph has exactly five components regardless of corpus size.
+    Components run on the DISTRIBUTED pointer-doubling labels
+    (stages/dedup.py connected_components_distributed — dataset-
+    resident label table, O(log diameter) rounds); the driver never
+    sees a node list."""
+    import numpy as np
+
+    from ..stages import dedup as _dedup
+
+    base = _docs(sf_dir, columns=("doc_id",))
+
+    def edges(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        src = ids % 50
+        dst = src - (src % 10) + ((src % 10) + 1 + (ids % 4)) % 10
+        return pa.table({
+            "id_a": pa.array(src.astype(np.int64), pa.int64()),
+            "id_b": pa.array(dst.astype(np.int64), pa.int64()),
+        })
+
+    labels = _dedup.connected_components_distributed(
+        base.map_batches(edges, batch_format="pyarrow")
+    )
+
+    def fmt(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        h = b.column("doc_id").to_numpy(zero_copy_only=False)
+        c = b.column("cluster_id").to_numpy(zero_copy_only=False)
+        lab = np.char.add("h", np.char.zfill(h.astype("U2"), 2))
+        comp = np.char.add("h", np.char.zfill(c.astype("U2"), 2))
+        return pa.table({
+            "host": pa.array(lab.tolist(), pa.string()),
+            "component": pa.array(comp.tolist(), pa.string()),
+        })
+
+    return labels.map_batches(fmt, batch_format="pyarrow")
+
+
+SQL_HOST_COMPONENTS = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT (doc_id % 50) AS a,
+         (doc_id % 50) - ((doc_id % 50) % 10)
+         + (((doc_id % 50) % 10) + 1 + (doc_id % 4)) % 10 AS b
+  FROM documents
+), sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+), cc(node, lbl) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, c.lbl FROM sym s JOIN cc c ON c.node = s.b
+)
+SELECT 'h' || lpad(node::VARCHAR, 2, '0') AS host,
+       'h' || lpad(min(lbl)::VARCHAR, 2, '0') AS component
+FROM cc GROUP BY node
+"""
+
+
 # Registry order is deliberate: the driver samples the FIRST 50 entries
 # per round for its DuckDB side-by-side, so the window leads with
 #   (a) the 25 queries that had never received a driver oracle row
@@ -4322,6 +4387,7 @@ QUERIES = {
     "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
     "nb_quality": (q_nb_quality, SQL_NB_QUALITY),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
+    "host_components": (q_host_components, SQL_HOST_COMPONENTS),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),

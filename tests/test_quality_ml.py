@@ -228,3 +228,30 @@ def test_ccnet_boundary_cap_is_loud(ray_session, monkeypatch):
         ccnet.ccnet_buckets(
             ray.data.from_arrow(_docs_table(rows)), n_bins=2
         ).materialize()
+
+
+# ------------------------------------------------------- host_components
+
+def test_host_components_five_decades(ray_session):
+    """The deterministic edge projection keeps links inside each decade
+    of hosts -> exactly five components, labeled by the decade min."""
+    import ray.data
+
+    from gocrd_ray.pipelines.queries import q_host_components
+
+    # drive through the query over a temp docs table
+    import pyarrow.parquet as pq
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(list(range(300)), pa.int64()),
+            "text": pa.array(["x"] * 300),
+        }),
+        os.path.join(d, "documents.parquet"),
+    )
+    out = q_host_components(d).to_pandas()
+    assert len(out) == 50
+    comp = out.set_index("host")["component"].to_dict()
+    for h in range(50):
+        assert comp[f"h{h:02d}"] == f"h{(h // 10) * 10:02d}"
