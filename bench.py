@@ -97,6 +97,7 @@ QUERY_NAMES = [
     "nb_quality",
     "ccnet_buckets",
     "host_components",
+    "dedup_media",
 ]
 
 

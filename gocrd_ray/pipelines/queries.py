@@ -4287,9 +4287,13 @@ def q_host_components(sf_dir: str):
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
         src = ids % 50
         dst = src - (src % 10) + ((src % 10) + 1 + (ids % 4)) % 10
+        # block-local dedupe (no shuffle): the host graph is tiny next
+        # to the corpus, and components are duplicate-edge-tolerant,
+        # so collapsing repeats here shrinks every CC join round
+        uniq = np.unique(src * np.int64(64) + dst)
         return pa.table({
-            "id_a": pa.array(src.astype(np.int64), pa.int64()),
-            "id_b": pa.array(dst.astype(np.int64), pa.int64()),
+            "id_a": pa.array((uniq // 64).astype(np.int64), pa.int64()),
+            "id_b": pa.array((uniq % 64).astype(np.int64), pa.int64()),
         })
 
     labels = _dedup.connected_components_distributed(
@@ -4327,6 +4331,87 @@ WITH RECURSIVE e AS (
 SELECT 'h' || lpad(node::VARCHAR, 2, '0') AS host,
        'h' || lpad(min(lbl)::VARCHAR, 2, '0') AS component
 FROM cc GROUP BY node
+"""
+
+
+def q_dedup_media(sf_dir: str):
+    """Exact byte-level media deduplication — the content-hash image
+    dedup step of multimodal crawl pipelines (LAION-style): every
+    media row is assigned the canonical (min) id of its payload-digest
+    group.  Shape: one digest pass (md5 over the binary payload,
+    hashed per block), ONE narrow (digest, id) groupby for the
+    canonical map, and a bucketed hash join attaching the canonical id
+    back to each row (both sides shuffle only 32-byte digests + ids —
+    payloads never move).  The synthetic corpus reuses the image_meta
+    generator, whose payload is an injective function of
+    ``doc_id % 256`` — which is what lets the oracle mirror the digest
+    GROUPS without reconstructing binary payloads in SQL."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from ..stages.join import partitioned_hash_join
+    from ..stages import multimodal as mm
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+
+    def gen(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        payloads = []
+        for i in ids:
+            w, h = 16 + i % 32, 16 + i % 16
+            color = (i % 256, (i * 7) % 256, (i * 13) % 256)
+            arr = np.full((h, w, 3), color, dtype=np.uint8)
+            payloads.append(
+                mm.encode_ppm(arr) if i % 2 == 0 else mm.encode_bmp(arr)
+            )
+        return pa.table(
+            {
+                "media_num": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    def digest(b: pa.Table) -> pa.Table:
+        d = [
+            _hl.md5(p).hexdigest()
+            for p in b.column("payload").to_pylist()
+        ]
+        return pa.table({
+            "digest": pa.array(d, pa.string()),
+            "media_num": b.column("media_num"),
+        })
+
+    hashed = docs.map_batches(gen, batch_format="pyarrow").map_batches(
+        digest, batch_format="pyarrow"
+    ).materialize()  # consumed twice: canonical map + join-back
+
+    canon = hashed.groupby("digest").min("media_num").map_batches(
+        lambda b: b.rename_columns(["digest_r", "canonical_num"]),
+        batch_format="pyarrow",
+    )
+    joined = partitioned_hash_join(
+        hashed, canon, left_key="digest", right_key="digest_r",
+        n_buckets=8,
+    )
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": pc.cast(b.column("media_num"), pa.string()),
+            "canonical": pc.cast(b.column("canonical_num"), pa.string()),
+        })
+
+    return joined.map_batches(fmt, batch_format="pyarrow")
+
+
+SQL_DEDUP_MEDIA = """
+WITH g AS (
+  SELECT doc_id, doc_id % 256 AS grp FROM documents
+), canon AS (
+  SELECT grp, min(doc_id) AS canonical FROM g GROUP BY grp
+)
+SELECT g.doc_id::VARCHAR AS media_id, c.canonical::VARCHAR AS canonical
+FROM g JOIN canon c USING (grp)
 """
 
 
@@ -4388,6 +4473,7 @@ QUERIES = {
     "nb_quality": (q_nb_quality, SQL_NB_QUALITY),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "host_components": (q_host_components, SQL_HOST_COMPONENTS),
+    "dedup_media": (q_dedup_media, SQL_DEDUP_MEDIA),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
