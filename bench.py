@@ -98,6 +98,8 @@ QUERY_NAMES = [
     "ccnet_buckets",
     "host_components",
     "dedup_media",
+    "pq_codes",
+    "pq_adc_topk",
 ]
 
 

@@ -3801,6 +3801,147 @@ QUALIFY rank <= 10
 )
 
 
+def q_pq_codes(sf_dir: str):
+    """Product quantization (Jégou et al. 2011): train 4 independent
+    16-dim sub-codebooks (k=4, 2 Lloyd iterations — the memory
+    compression of billion-scale ANN: each 64-dim vector becomes 4
+    two-bit codes) and encode the corpus.  ALL subspaces train in the
+    SAME streaming pass per iteration (stages/pq.py fit_pq); exact
+    int64 fixed-point throughout, so codebooks AND codes are
+    bit-mirrorable in the unrolled SQL chain."""
+    from ..stages import pq
+
+    return pq.pq_codes(_emb(sf_dir), m=4, k=4, n_iter=2)
+
+
+def _pq_sql_iter(prev: str, cur: str) -> str:
+    """One unrolled per-subspace Lloyd iteration (exact int64 mirror
+    of stages/pq.py — the kmeans _km_sql_iter contract applied with a
+    (vec_id, s) grain: int distances, (dist, cl) argmin per
+    subspace, floor-div centroid means via the explicit mod
+    formula)."""
+    return f""", pqd{cur} AS (
+  SELECT q.vec_id, q.s, c.cl,
+         SUM((q.v - c.v) * (q.v - c.v))::BIGINT AS dist
+  FROM pqq q JOIN pc{prev} c ON c.s = q.s AND c.ds = q.ds
+  GROUP BY q.vec_id, q.s, c.cl
+), pqa{cur} AS (
+  SELECT vec_id, s, cl FROM (
+    SELECT vec_id, s, cl,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cl)
+             AS rn
+    FROM pqd{cur}) WHERE rn = 1
+), pqu{cur} AS (
+  SELECT a.s, a.cl, q.ds, SUM(q.v)::BIGINT AS sm, COUNT(*)::BIGINT AS n
+  FROM pqa{cur} a JOIN pqq q ON q.vec_id = a.vec_id AND q.s = a.s
+  GROUP BY a.s, a.cl, q.ds
+), pc{cur} AS (
+  SELECT p.s, p.cl, p.ds,
+         CAST(COALESCE(
+           (u.sm - (((u.sm % u.n) + u.n) % u.n)) // u.n, p.v
+         ) AS BIGINT) AS v
+  FROM pc{prev} p LEFT JOIN pqu{cur} u
+    ON u.s = p.s AND u.cl = p.cl AND u.ds = p.ds
+)"""
+
+
+def _pq_sql_core(src: str, *, m: int = 4, dsub: int = 16,
+                 k: int = 4) -> str:
+    """The shared PQ CTE chain over source relation ``src`` (must
+    expose vec_id, embedding): quantize -> subspace split -> init ->
+    2 unrolled per-subspace Lloyd iterations -> final per-subspace
+    assignment CTE ``pqaf(vec_id, s, cl)`` (codebooks live in
+    ``pc2``)."""
+    return (
+        f"""pqfull AS (
+  SELECT vec_id, CAST(d AS BIGINT) AS d,
+         CAST(FLOOR(CAST(e AS DOUBLE) * 1048576) AS BIGINT) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS d
+        FROM {src})
+), pqq AS (
+  SELECT vec_id, (d - 1) // {dsub} AS s, ((d - 1) % {dsub}) + 1 AS ds, v
+  FROM pqfull
+), pqinit AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+  FROM {src} ORDER BY vec_id LIMIT {k}
+), pc0 AS (
+  SELECT q.s, i.cl, q.ds, q.v FROM pqq q JOIN pqinit i USING (vec_id)
+)"""
+        + _pq_sql_iter("0", "1")
+        + _pq_sql_iter("1", "2")
+        + """, pqdF AS (
+  SELECT q.vec_id, q.s, c.cl,
+         SUM((q.v - c.v) * (q.v - c.v))::BIGINT AS dist
+  FROM pqq q JOIN pc2 c ON c.s = q.s AND c.ds = q.ds
+  GROUP BY q.vec_id, q.s, c.cl
+), pqaf AS (
+  SELECT vec_id, s, cl FROM (
+    SELECT vec_id, s, cl,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cl)
+             AS rn
+    FROM pqdF) WHERE rn = 1
+)"""
+    )
+
+
+SQL_PQ_CODES = (
+    "WITH " + _pq_sql_core("embeddings") + """
+SELECT vec_id,
+       max(CASE WHEN s = 0 THEN cl END)::BIGINT AS c0,
+       max(CASE WHEN s = 1 THEN cl END)::BIGINT AS c1,
+       max(CASE WHEN s = 2 THEN cl END)::BIGINT AS c2,
+       max(CASE WHEN s = 3 THEN cl END)::BIGINT AS c3,
+       (max(CASE WHEN s = 0 THEN cl END) * 64
+        + max(CASE WHEN s = 1 THEN cl END) * 16
+        + max(CASE WHEN s = 2 THEN cl END) * 4
+        + max(CASE WHEN s = 3 THEN cl END))::BIGINT AS code
+FROM pqaf GROUP BY vec_id
+"""
+)
+
+
+def q_pq_adc_topk(sf_dir: str):
+    """PQ asymmetric-distance top-k (Jégou et al. 2011 §4.2): per
+    query an exact (m x k) int64 distance table; every candidate's
+    approximate distance is 4 integer table lookups — the search
+    shape that makes billion-scale ANN affordable.  Deterministic
+    integer arithmetic end to end, so the APPROXIMATE result itself
+    (including which true neighbors it misses) is bit-checked against
+    the SQL mirror."""
+    from ..stages import pq
+
+    return pq.pq_adc_topk(
+        _emb(sf_dir), [0, 1, 2, 3, 4], k_neighbors=10,
+        m=4, k=4, n_iter=2,
+    )
+
+
+SQL_PQ_ADC_TOPK = (
+    "WITH " + _pq_sql_core("embeddings") + """
+, pqqv AS (
+  SELECT vec_id AS query_id, s, ds, v FROM pqq WHERE vec_id < 5
+), pqdt AS (
+  SELECT qv.query_id, c.s, c.cl,
+         SUM((qv.v - c.v) * (qv.v - c.v))::BIGINT AS dd
+  FROM pqqv qv JOIN pc2 c ON c.s = qv.s AND c.ds = qv.ds
+  GROUP BY qv.query_id, c.s, c.cl
+), pqadc AS (
+  SELECT dt.query_id, a.vec_id AS neighbor_id,
+         SUM(dt.dd)::BIGINT AS adc_dist_fp
+  FROM pqaf a JOIN pqdt dt ON dt.s = a.s AND dt.cl = a.cl
+  WHERE a.vec_id != dt.query_id
+  GROUP BY dt.query_id, a.vec_id
+)
+SELECT query_id, neighbor_id, adc_dist_fp,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY adc_dist_fp, neighbor_id
+       ) AS BIGINT) AS rank
+FROM pqadc QUALIFY rank <= 10
+"""
+)
+
+
 def q_train_shuffle(sf_dir: str):
     """Deterministic global training shuffle — the shuffle-before-
     sequence-packing step: every doc gets a pseudorandom but
@@ -4474,6 +4615,8 @@ QUERIES = {
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "host_components": (q_host_components, SQL_HOST_COMPONENTS),
     "dedup_media": (q_dedup_media, SQL_DEDUP_MEDIA),
+    "pq_codes": (q_pq_codes, SQL_PQ_CODES),
+    "pq_adc_topk": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
