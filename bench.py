@@ -100,6 +100,7 @@ QUERY_NAMES = [
     "dedup_media",
     "pq_codes",
     "pq_adc_topk",
+    "events_range_join",
 ]
 
 

@@ -1066,6 +1066,61 @@ FROM events p WHERE p.event_type = 'purchase'
 """
 
 
+def q_events_range_join(sf_dir: str):
+    """Range (interval) join — the join-family member between equality
+    and as-of: each event pairs with EVERY campaign window whose
+    [lo, hi) span contains it; windows overlap (1.5x the step), so an
+    event can match two.  16 windows derived from the stream's own
+    [min, max] span in exact integer epoch-microsecond arithmetic.
+    The window table is the broadcast small side; the event stream
+    never shuffles (stages/join.py interval_join_broadcast)."""
+    import numpy as np
+
+    ev = _events(sf_dir, columns=("event_id", "ts"))
+
+    # bounds: per-block (min, max) partials, bounded take_all
+    def bounds(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"t0": pa.array([], pa.int64()),
+                             "t1": pa.array([], pa.int64())})
+        ts = b.column("ts").cast(pa.int64())
+        return pa.table({
+            "t0": pa.array([pc.min(ts).as_py()], pa.int64()),
+            "t1": pa.array([pc.max(ts).as_py()], pa.int64()),
+        })
+
+    parts = ev.map_batches(bounds, batch_format="pyarrow").take_all()
+    t0 = min(r["t0"] for r in parts)
+    t1 = max(r["t1"] for r in parts)
+    step = (t1 - t0) // 16
+    k = np.arange(16, dtype=np.int64)
+    lo = t0 + k * step
+    windows = pa.table({
+        "window_id": pa.array(k, pa.int64()),
+        "lo": pa.array(lo, pa.int64()),
+        "hi": pa.array(lo + step + step // 2, pa.int64()),
+    })
+    return join.interval_join_broadcast(
+        ev, windows, ts_col="ts",
+        left_cols=["event_id"], interval_cols=["window_id"],
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = """
+WITH b AS (
+  SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events
+), g AS (
+  SELECT CAST(k AS BIGINT) AS window_id,
+         t0 + k * ((t1 - t0) // 16) AS lo,
+         t0 + k * ((t1 - t0) // 16)
+           + ((t1 - t0) // 16) + ((t1 - t0) // 16) // 2 AS hi
+  FROM b, range(16) r(k)
+)
+SELECT e.event_id, g.window_id
+FROM events e JOIN g ON epoch_us(e.ts) >= g.lo AND epoch_us(e.ts) < g.hi
+"""
+
+
 def q_dedup_verified(sf_dir: str):
     """The scale path for near-dup dedup: LSH candidates verified with
     exact shingle Jaccard via co-partitioned lookup joins — equals the
@@ -4617,6 +4672,7 @@ QUERIES = {
     "dedup_media": (q_dedup_media, SQL_DEDUP_MEDIA),
     "pq_codes": (q_pq_codes, SQL_PQ_CODES),
     "pq_adc_topk": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
+    "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),

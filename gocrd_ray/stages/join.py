@@ -211,3 +211,77 @@ def native_join(left_ds, right_ds, *, on, right_on=None,
             else (tuple(right_on) if not isinstance(right_on, str) else (right_on,))
         ),
     )
+
+
+def interval_join_broadcast(left_ds, intervals: pa.Table, *,
+                            ts_col: str, lo_col: str = "lo",
+                            hi_col: str = "hi",
+                            left_cols=None, interval_cols=None):
+    """Range (interval) join: every left row pairs with every interval
+    whose half-open [lo, hi) span contains its timestamp — the
+    sessionless windowed-attribution shape (event x campaign window,
+    log line x maintenance window).  Intervals may OVERLAP, so a row
+    can match several of them (unlike ``asof_join_latest``'s 1:1).
+
+    Scale shape: the interval table is the SMALL side — broadcast once
+    via ``ray.put``, fetched once per actor, matched per batch with a
+    vectorized (n x K) comparison; the big side streams, zero shuffle.
+    Per-batch cost is O(rows x K): right for K up to a few thousand.
+    For a LARGE interval table, co-partition both sides by time bucket
+    (floor(ts / bucket) on the left; every overlapped bucket on the
+    right) and run this join inside each group — the
+    partitioned_hash_join pattern with time as the key.
+
+    Timestamps compare as int64 (epoch microseconds for Arrow
+    timestamp columns — the exact-parity contract with SQL's
+    ``epoch_us``)."""
+    import numpy as np
+    import ray
+
+    left_cols = list(left_cols or [c for c in left_ds.schema().names])
+    interval_cols = list(
+        interval_cols
+        or [c for c in intervals.schema.names if c not in (lo_col, hi_col)]
+    )
+
+    def _as_i64(col) -> "np.ndarray":
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.int64())
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    lo = _as_i64(intervals.column(lo_col))
+    hi = _as_i64(intervals.column(hi_col))
+    iref = ray.put((lo, hi, intervals.select(interval_cols)))
+
+    class _Probe:
+        def __init__(self, iref):
+            import ray as _ray
+
+            self.lo, self.hi, self.itab = _ray.get(iref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            itab = self.itab
+            if b.num_rows == 0:
+                cols = {c: b.column(c) for c in left_cols}
+                for c in itab.schema.names:
+                    cols[c] = pa.array([], itab.schema.field(c).type)
+                return pa.table(cols)
+            ts = _as_i64(b.column(ts_col))
+            mask = (ts[:, None] >= self.lo[None, :]) & (
+                ts[:, None] < self.hi[None, :]
+            )
+            li, wi = np.nonzero(mask)
+            out = b.select(left_cols).take(pa.array(li, pa.int64()))
+            cols = {c: out.column(c) for c in left_cols}
+            for c in itab.schema.names:
+                cols[c] = itab.column(c).take(pa.array(wi, pa.int64()))
+            return pa.table(cols)
+
+    return left_ds.map_batches(
+        _Probe,
+        fn_constructor_args=(iref,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
