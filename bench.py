@@ -101,6 +101,8 @@ QUERY_NAMES = [
     "pq_codes",
     "pq_adc_topk",
     "events_range_join",
+    "best_per_host",
+    "table_profile",
 ]
 
 

@@ -4611,6 +4611,167 @@ FROM g JOIN canon c USING (grp)
 """
 
 
+def q_best_per_host(sf_dir: str):
+    """Canonical-page selection: keep ONE best document per host (the
+    curation step after URL/host clustering — 'of this site's pages,
+    keep the most substantial one').  Best = max n_chars, ties to the
+    lowest doc_id.  Scale shape: per-block vectorized argmax partials
+    (<= n_hosts narrow rows per block, the heavyhitters pattern), then
+    ONE tiny host-keyed groupby over partials — the corpus text never
+    shuffles."""
+    import numpy as np
+
+    base = _docs(sf_dir, columns=("doc_id", "n_chars"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({
+                "host_num": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+            })
+        hosts = ids % 50
+        # block-local best per host: order by (host, -n_chars, doc_id),
+        # keep the first row of each host run
+        order = np.lexsort((ids, -nch, hosts))
+        h_sorted = hosts[order]
+        first = np.concatenate(([True], h_sorted[1:] != h_sorted[:-1]))
+        keep = order[first]
+        return pa.table({
+            "host_num": pa.array(hosts[keep].astype(np.int64), pa.int64()),
+            "doc_id": pa.array(ids[keep].astype(np.int64), pa.int64()),
+            "n_chars": pa.array(nch[keep].astype(np.int64), pa.int64()),
+        })
+
+    parts = base.map_batches(partial, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        rows.sort(key=lambda r: (-r["n_chars"], r["doc_id"]))
+        r = rows[0]
+        return pa.table({
+            "host": pa.array([f"h{r['host_num']:02d}"], pa.string()),
+            "doc_id": pa.array([r["doc_id"]], pa.int64()),
+            "n_chars": pa.array([r["n_chars"]], pa.int64()),
+        })
+
+    return parts.groupby("host_num").map_groups(
+        merge, batch_format="pyarrow"
+    )
+
+
+SQL_BEST_PER_HOST = """
+SELECT 'h' || lpad((doc_id % 50)::VARCHAR, 2, '0') AS host,
+       doc_id, n_chars
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id % 50 ORDER BY n_chars DESC, doc_id
+) = 1
+"""
+
+
+def q_table_profile(sf_dir: str):
+    """Data profiling (the Deequ/ingest-audit shape): per column of
+    the documents table — null count, EXACT distinct count, min and
+    max (as strings for a uniform schema).  Scale shape: nulls and
+    min/max come from per-block partials (one narrow row per block,
+    driver-reduced); each exact distinct is ONE narrow
+    single-column-projection shuffle — the honest cost of exact
+    ndv (the sketch path is distinct_tokens_sketch's HLL)."""
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    base = _docs(sf_dir, columns=tuple(cols))
+
+    def partials(b: pa.Table) -> pa.Table:
+        out = {"col": [], "n_null": [], "min_v": [], "max_v": []}
+        for c in cols:
+            col = b.column(c)
+            out["col"].append(c)
+            out["n_null"].append(col.null_count)
+            valid = col.drop_null()
+            if len(valid) == 0:
+                out["min_v"].append(None)
+                out["max_v"].append(None)
+            else:
+                mm = pc.min_max(valid).as_py()
+                out["min_v"].append(str(mm["min"]))
+                out["max_v"].append(str(mm["max"]))
+        return pa.table({
+            "col": pa.array(out["col"], pa.string()),
+            "n_null": pa.array(out["n_null"], pa.int64()),
+            "min_v": pa.array(out["min_v"], pa.string()),
+            "max_v": pa.array(out["max_v"], pa.string()),
+        })
+
+    # integer columns must merge numerically, not lexicographically
+    # ('95' > '499' as strings): key the min/max compare on the real
+    # column type from the schema
+    schema = base.schema()
+    types = dict(zip(schema.names, schema.types))
+    keyfn = {
+        c: (int if pa.types.is_integer(types[c]) else str)
+        for c in cols
+    }
+
+    rows = []
+    agg = {}
+    for r in base.map_batches(
+        partials, batch_format="pyarrow"
+    ).take_all():  # bounded: len(cols) rows per block
+        cur = agg.setdefault(r["col"], {
+            "n_null": 0, "min_v": None, "max_v": None,
+        })
+        cur["n_null"] += r["n_null"]
+        key = keyfn[r["col"]]
+        for k, fn in (("min_v", min), ("max_v", max)):
+            if r[k] is not None:
+                cur[k] = (
+                    r[k] if cur[k] is None
+                    else fn(cur[k], r[k], key=key)
+                )
+
+    for c in cols:
+        # exact distinct: ONE narrow single-column shuffle per column;
+        # nulls drop first (SQL DISTINCT excludes them, and Ray's
+        # groupby cannot sort a null key)
+        nd = (
+            _docs(sf_dir, columns=(c,))
+            .map_batches(
+                lambda b, c=c: pa.table({c: b.column(c).drop_null()}),
+                batch_format="pyarrow",
+            )
+            .groupby(c).count()
+            .count()
+        )
+        rows.append({
+            "col": c, "n_null": agg[c]["n_null"], "n_distinct": nd,
+            "min_v": agg[c]["min_v"], "max_v": agg[c]["max_v"],
+        })
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("col", pa.string()), ("n_null", pa.int64()),
+        ("n_distinct", pa.int64()), ("min_v", pa.string()),
+        ("max_v", pa.string()),
+    ]))
+
+
+SQL_TABLE_PROFILE = """
+SELECT 'doc_id' AS col, count(*) - count(doc_id) AS n_null,
+       count(DISTINCT doc_id) AS n_distinct,
+       min(doc_id)::VARCHAR AS min_v, max(doc_id)::VARCHAR AS max_v
+FROM documents
+UNION ALL
+SELECT 'lang', count(*) - count(lang), count(DISTINCT lang),
+       min(lang), max(lang) FROM documents
+UNION ALL
+SELECT 'source', count(*) - count(source), count(DISTINCT source),
+       min(source), max(source) FROM documents
+UNION ALL
+SELECT 'n_chars', count(*) - count(n_chars), count(DISTINCT n_chars),
+       min(n_chars)::VARCHAR, max(n_chars)::VARCHAR FROM documents
+"""
+
+
 # Registry order is deliberate: the driver samples the FIRST 50 entries
 # per round for its DuckDB side-by-side, so the window leads with
 #   (a) the 25 queries that had never received a driver oracle row
@@ -4673,6 +4834,8 @@ QUERIES = {
     "pq_codes": (q_pq_codes, SQL_PQ_CODES),
     "pq_adc_topk": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
+    "best_per_host": (q_best_per_host, SQL_BEST_PER_HOST),
+    "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
