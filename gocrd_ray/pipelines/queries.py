@@ -4772,6 +4772,136 @@ SELECT 'n_chars', count(*) - count(n_chars), count(DISTINCT n_chars),
 """
 
 
+def q_soft_dedup(sf_dir: str):
+    """Soft (weighted) exact dedup — SoftDeDup family (He et al. 2024,
+    arXiv:2401.00838): duplicates are DOWN-WEIGHTED (weight =
+    1/n_copies of the md5(text) group), not removed — the trainer
+    samples by weight so duplicated content carries one document's
+    worth of expected mass. Dup-injected corpus (doc_id<40 re-tagged
+    +1000000 — q_dedup_incremental's pattern) so n_copies>1 paths
+    exercise at every sf. Scale shape: stages/dedup.soft_dedup_weights
+    — only (digest, id) rows shuffle, one Python callback per 256-way
+    digest shard, vectorized run-length count inside."""
+
+    def with_dups(b: pa.Table) -> pa.Table:
+        sel = b.filter(pc.less(b.column("doc_id"), 40))
+        dup = pa.table(
+            {
+                "doc_id": pc.add(sel.column("doc_id"), 1000000),
+                "text": sel.column("text"),
+            }
+        )
+        base = pa.table(
+            {"doc_id": b.column("doc_id"), "text": b.column("text")}
+        )
+        return pa.concat_tables([base, dup])
+
+    corpus = _docs(sf_dir).map_batches(with_dups, batch_format="pyarrow")
+    return dedup.soft_dedup_weights(corpus)
+
+
+SQL_SOFT_DEDUP = """
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+  WHERE doc_id < 40 AND text IS NOT NULL
+)
+SELECT doc_id,
+       count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+       CAST(1 AS DOUBLE) / count(*) OVER (PARTITION BY md5(text)) AS weight
+FROM d
+"""
+
+
+def q_badwords_filter(sf_dir: str):
+    """C4 §2.2 bad-word document filter (Raffel et al. 2020): drop any
+    page whose lowercase whitespace tokens intersect the blocklist —
+    the piece of the C4 recipe `c4_clean` (line rules) doesn't cover.
+    Pure streaming map, zero shuffle (stages/quality.badwords_filter);
+    word set is a deterministic stand-in ('dup' exists in the corpus
+    vocabulary → the drop path exercises at every sf)."""
+    from ..stages import quality
+
+    return quality.badwords_filter(_docs(sf_dir))
+
+
+SQL_BADWORDS_FILTER = (
+    """
+SELECT doc_id, text FROM documents
+WHERE text IS NOT NULL
+  AND NOT list_has_any(string_split(lower(text), ' '),
+                       ["""
+    + ", ".join(f"'{w}'" for w in sorted(("dup", "darknet", "lorem")))
+    + """])
+"""
+)
+
+
+#: blocked registrable domains for q_domain_blocklist — suffix
+#: semantics: each entry blocks itself AND every subdomain.
+DOMAIN_BLOCKLIST = ("h03.example.com", "h11.example.com", "h27.example.com")
+
+
+def q_domain_blocklist(sf_dir: str):
+    """Domain-suffix blocklist filter (UT1 / Pi-hole semantics): a
+    blocked registrable domain kills the apex host AND every
+    subdomain. Hosts are synthesized at two depths (every 4th doc gets
+    a cdnK. prefix) so the suffix rule — not exact matching — decides
+    the cdn rows. Vectorized suffix expansion: ≤8 strip-one-label RE2
+    passes + is_in (functions/scalars.domain_suffix_hits); pure
+    streaming map, zero shuffle."""
+    import numpy as np
+
+    from ..functions import scalars
+
+    base = _docs(sf_dir, columns=("doc_id",))
+
+    def host_col(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        root = np.char.add(
+            np.char.add("h", np.char.zfill((ids % 50).astype("U2"), 2)),
+            ".example.com",
+        )
+        cdn = np.char.add(
+            np.char.add("cdn", (ids % 3).astype("U1")),
+            np.char.add(".", root),
+        )
+        host = np.where(ids % 4 == 0, cdn, root)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "host": pa.array(host.tolist(), pa.string()),
+            }
+        )
+
+    with_host = base.map_batches(host_col, batch_format="pyarrow")
+    return scalars.suffix_blocklist_filter(with_host, set(DOMAIN_BLOCKLIST))
+
+
+SQL_DOMAIN_BLOCKLIST = (
+    """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'cdn' || (doc_id % 3)::VARCHAR || '.h'
+                   || lpad((doc_id % 50)::VARCHAR, 2, '0')
+                   || '.example.com'
+              ELSE 'h' || lpad((doc_id % 50)::VARCHAR, 2, '0')
+                   || '.example.com'
+         END AS host
+  FROM documents
+)
+SELECT doc_id, host FROM d
+WHERE NOT ("""
+    + "\n        OR ".join(
+        f"host = '{b}' OR host LIKE '%.{b}'" for b in DOMAIN_BLOCKLIST
+    )
+    + """)
+"""
+)
+
+
 # Registry order is deliberate: the driver samples the FIRST 50 entries
 # per round for its DuckDB side-by-side, so the window leads with
 #   (a) the 25 queries that had never received a driver oracle row
@@ -4836,6 +4966,9 @@ QUERIES = {
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "best_per_host": (q_best_per_host, SQL_BEST_PER_HOST),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
+    "soft_dedup": (q_soft_dedup, SQL_SOFT_DEDUP),
+    "badwords_filter": (q_badwords_filter, SQL_BADWORDS_FILTER),
+    "domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),

@@ -71,6 +71,69 @@ def add_hash_bucket(ds, col: str = "text", n_buckets: int = 256,
     return ds.map_batches(bucketize, batch_format="pyarrow")
 
 
+def soft_dedup_weights(ds, id_col: str = "doc_id", text_col: str = "text",
+                       n_groups: int = 256):
+    """Soft (weighted) exact dedup — the SoftDeDup family (He et al.
+    2024, arXiv:2401.00838): instead of REMOVING exact duplicates,
+    every document gets sampling weight ``1 / n_copies`` where
+    ``n_copies`` counts the docs sharing its md5(text) digest. The
+    trainer then samples by weight: duplicated content keeps exactly
+    one document's worth of expected mass without discarding any row
+    (useful when near-boilerplate pages still carry unique tails).
+
+    Scale shape — the ``exact_dedup`` contract plus the
+    ``_bucket_pairs`` sharding discipline: only (digest, id) rows ever
+    shuffle (never text), whole digest-groups co-locate by a 256-way
+    crc32 shard of the digest so the groupby pays ONE Python callback
+    per SHARD instead of one per digest (mostly-singleton digests
+    would cost ~|corpus| callbacks), and inside a shard the count
+    attach is a single lexsort + run-length ``np.repeat``. Null texts
+    are dropped (md5(NULL) can match nothing — SQL NULL semantics).
+
+    Returns ``(id_col, n_copies:int64, weight:float64 = 1/n_copies)``;
+    weight is one IEEE-754 division, bit-identical to SQL's
+    ``CAST(1 AS DOUBLE) / count(*)``.
+    """
+
+    def hash_rows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(text_col)))
+        texts = b.column(text_col).to_pylist()
+        # per-row md5 is the SQL-parity contract (DuckDB md5() mirror)
+        digs = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        shard = [zlib.crc32(d.encode("ascii")) % n_groups for d in digs]
+        return pa.table(
+            {
+                "__dig": pa.array(digs, pa.string()),
+                id_col: pc.cast(b.column(id_col), pa.int64()),
+                "__shard": pa.array(shard, pa.int32()),
+            }
+        )
+
+    sharded = ds.map_batches(hash_rows, batch_format="pyarrow")
+
+    def count_in_shard(g: pa.Table) -> pa.Table:
+        digs = np.asarray(g.column("__dig").to_pylist(), dtype=object)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, digs))
+        d_sorted = digs[order]
+        new = np.ones(len(order), dtype=bool)
+        new[1:] = d_sorted[1:] != d_sorted[:-1]
+        starts = np.flatnonzero(new)
+        lengths = np.diff(np.append(starts, len(order)))
+        n = np.repeat(lengths, lengths).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "n_copies": pa.array(n),
+                "weight": pa.array(1.0 / n.astype(np.float64), pa.float64()),
+            }
+        )
+
+    return sharded.groupby("__shard").map_groups(
+        count_in_shard, batch_format="pyarrow"
+    )
+
+
 def _dedup_rows_by_url(b: pa.Table, policy: str, ts_col: str) -> pa.Table:
     """Vectorized one-winner-per-url selection within a table.
 

@@ -191,3 +191,48 @@ def c4_line_filter(ds, **kw):
     return ds.map_batches(
         lambda b: c4_line_filter_batch(b, **kw), batch_format="pyarrow"
     )
+
+
+# Deterministic stand-in for C4's "List of Dirty, Naughty, Obscene or
+# Otherwise Bad Words" (the operator is list-agnostic; the real list is
+# a drop-in replacement). "dup" exists in the synthetic vocabulary so
+# the drop path exercises at every sf; the others pin the zero-hit path.
+C4_BADWORDS = ("dup", "darknet", "lorem")
+
+
+def badwords_filter_batch(
+    b: pa.Table,
+    badwords=C4_BADWORDS,
+    text_col: str = "text",
+) -> pa.Table:
+    """C4 §2.2 bad-word DOCUMENT filter (Raffel et al. 2020): drop any
+    page containing a blocklisted word. Matching is C4's: lowercase,
+    then exact whitespace-token membership (never substring — "dupe"
+    does not match "dup"). Null text is dropped (a NULL page can't be
+    certified clean; mirrors SQL's NULL-predicate row drop).
+
+    Fully vectorized: one utf8_lower + split per batch, one ``is_in``
+    over the flattened token values, and a bincount scatter back to
+    rows. Pure streaming map, zero shuffle; the word set rides the
+    closure (fine to ~10^5 words — beyond that broadcast via ray.put
+    into an actor pool __init__).
+    """
+    b = b.filter(pc.is_valid(b.column(text_col)))
+    if len(b) == 0:
+        return b
+    value_set = pa.array(sorted(set(badwords)), pa.string())
+    toks = pc.split_pattern(pc.utf8_lower(b.column(text_col)), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    hit = pc.is_in(toks.values, value_set=value_set).to_numpy(
+        zero_copy_only=False
+    )
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    bad = np.bincount(parents[hit], minlength=len(b)).astype(bool)
+    return b.filter(pa.array(~bad))
+
+
+def badwords_filter(ds, **kw):
+    return ds.map_batches(
+        lambda b: badwords_filter_batch(b, **kw), batch_format="pyarrow"
+    )
