@@ -4902,6 +4902,53 @@ WHERE NOT ("""
 )
 
 
+def q_bitext_mine(sf_dir: str):
+    """Bitext mining / cross-corpus alignment (CCMatrix family,
+    Schwenk et al. 2021): the odd-vec_id shard plays the "foreign"
+    corpus, the even shard the "target"; every foreign vector gets
+    its best same-cluster target by exact int64 fixed-point L2
+    (ties: lowest target id). This is the LARGE × LARGE similarity
+    join the broadcast kNN stages can't serve — NEITHER side
+    broadcasts; the exact k-means quantizer (fit over the union)
+    co-partitions both sides, ONE cluster-keyed shuffle
+    (stages/kmeans.bitext_match). The n_probe=1 approximation is
+    itself deterministic integer arithmetic, so the approximate
+    result — including any cluster-boundary misses — is
+    bit-mirrorable in SQL."""
+    import numpy as np
+
+    from ..stages import kmeans
+
+    def add_side(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "side", pa.array((ids % 2).astype(np.int64), pa.int64())
+        )
+
+    corpus = _emb(sf_dir).map_batches(add_side, batch_format="pyarrow")
+    return kmeans.bitext_match(corpus, k=8, n_iter=3)
+
+
+SQL_BITEXT_MINE = (
+    "WITH " + _km_sql_core("embeddings") + """
+, pd AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS match_id,
+         SUM((qb.v - qa.v) * (qb.v - qa.v))::BIGINT AS dist_fp
+  FROM af b JOIN af a ON a.cl = b.cl
+  JOIN q qb ON qb.vec_id = b.vec_id
+  JOIN q qa ON qa.vec_id = a.vec_id AND qa.d = qb.d
+  WHERE b.vec_id % 2 = 1 AND a.vec_id % 2 = 0
+  GROUP BY b.vec_id, a.vec_id
+)
+SELECT query_id, match_id, dist_fp FROM (
+  SELECT query_id, match_id, dist_fp,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY dist_fp, match_id) AS rn
+  FROM pd) WHERE rn = 1
+"""
+)
+
+
 # Registry order is deliberate: the driver samples the FIRST 50 entries
 # per round for its DuckDB side-by-side, so the window leads with
 #   (a) the 25 queries that had never received a driver oracle row
@@ -4969,6 +5016,7 @@ QUERIES = {
     "soft_dedup": (q_soft_dedup, SQL_SOFT_DEDUP),
     "badwords_filter": (q_badwords_filter, SQL_BADWORDS_FILTER),
     "domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
+    "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),

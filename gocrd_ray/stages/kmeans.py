@@ -549,3 +549,131 @@ def ivf_topk_fixed(
     return local.groupby("query_id").map_groups(
         merge, batch_format="pyarrow"
     )
+
+
+def bitext_match(
+    ds,
+    *,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    side_col: str = "side",
+    concurrency=(1, 8),
+    max_pair_elems: int = 8_000_000,
+):
+    """Large × large cross-corpus nearest-neighbor alignment — the
+    bitext-mining shape (CCMatrix, Schwenk et al. 2021,
+    arXiv:1911.04944: align every foreign sentence to its best
+    counterpart in a huge target corpus). For every side-1 ("query")
+    vector, return the best side-0 ("target") vector SHARING ITS
+    K-MEANS CLUSTER by exact int64 fixed-point squared L2 (ties:
+    lowest target id).
+
+    This is the similarity-join case the broadcast kNN stages cannot
+    serve: BOTH sides are corpus-scale, so neither may broadcast.
+    The exact quantizer (``fit_kmeans`` over the two-side union — the
+    module's bit-reproducible integer contract) co-partitions the
+    sides instead: one streaming label pass, then ONE cluster-keyed
+    shuffle of (id, side, embedding) rows; within a cluster the
+    argmin is a chunked integer broadcast whose working set is capped
+    at ``max_pair_elems`` elements. Queries landing in a cluster with
+    no target member emit nothing — the n_probe=1 approximation,
+    itself deterministic and SQL-mirrorable
+    (``queries.SQL_BITEXT_MINE``); probe more clusters upstream if
+    recall matters.
+
+    At 10^9+ rows per side, size ``k`` so a cluster's rows fit a
+    worker (k ≈ n/10^5); skewed clusters split further by re-running
+    with k·2 — the assignment stays deterministic either way.
+
+    Returns ``(query_id, match_id, dist_fp)``.
+    """
+    import ray
+
+    cents = fit_kmeans(
+        ds, k=k, n_iter=n_iter, id_col=id_col, emb_col=emb_col,
+        concurrency=concurrency,
+    )
+    cref = ray.put(cents)
+
+    class _LabelSide:
+        def __init__(self, cents_ref, id_col, emb_col, side_col):
+            import ray as _r
+
+            self.cents = _r.get(cents_ref)
+            self.id_col, self.emb_col = id_col, emb_col
+            self.side_col = side_col
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            if b.num_rows == 0:
+                return pa.table({
+                    self.id_col: pa.array([], pa.int64()),
+                    self.side_col: pa.array([], pa.int64()),
+                    self.emb_col: pa.array([], pa.list_(pa.float32())),
+                    "cluster": pa.array([], pa.int64()),
+                })
+            q = _quantize(b.column(self.emb_col))
+            a, _ = _assign(q, self.cents)
+            emb = b.column(self.emb_col)
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            return pa.table({
+                self.id_col: _pc.cast(b.column(self.id_col), pa.int64()),
+                self.side_col: _pc.cast(b.column(self.side_col), pa.int64()),
+                self.emb_col: emb,
+                "cluster": pa.array(a, pa.int64()),
+            })
+
+    labeled = ds.map_batches(
+        _LabelSide,
+        fn_constructor_args=(cref, id_col, emb_col, side_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def match_in_cluster(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "match_id": pa.array([], pa.int64()),
+            "dist_fp": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        sides = g.column(side_col).to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        q = _quantize(g.column(emb_col))
+        a_mask = sides == 0
+        b_mask = sides == 1
+        if not a_mask.any() or not b_mask.any():
+            return empty
+        # targets ascending by id: argmin first-occurrence == lowest id
+        a_order = np.argsort(ids[a_mask], kind="stable")
+        A = q[a_mask][a_order]
+        a_ids = ids[a_mask][a_order]
+        B = q[b_mask]
+        b_ids = ids[b_mask]
+        n_b, dim = B.shape
+        best = np.full(n_b, np.iinfo(np.int64).max, dtype=np.int64)
+        best_id = np.full(n_b, -1, dtype=np.int64)
+        chunk = max(1, max_pair_elems // max(1, n_b * dim))
+        for s in range(0, len(A), chunk):
+            Ac = A[s : s + chunk]
+            d = Ac[None, :, :] - B[:, None, :]  # (n_b, c, dim) int64
+            dist = np.einsum("bcd,bcd->bc", d, d)
+            arg = dist.argmin(axis=1)
+            m = dist[np.arange(n_b), arg]
+            better = m < best  # strict: earlier chunk = lower ids win ties
+            best[better] = m[better]
+            best_id[better] = a_ids[s + arg[better]]
+        return pa.table({
+            "query_id": pa.array(b_ids, pa.int64()),
+            "match_id": pa.array(best_id, pa.int64()),
+            "dist_fp": pa.array(best, pa.int64()),
+        })
+
+    return labeled.groupby("cluster").map_groups(
+        match_in_cluster, batch_format="pyarrow"
+    )

@@ -194,3 +194,74 @@ def test_ivf_fixed_partial_probe_is_deterministic_subset(ray_session):
         got = a[a.query_id == qid].neighbor_id
         assert len(got) == 5
         assert len(set(labels[got])) <= 2
+
+
+# -- bitext_match (large x large co-partitioned similarity join) -------------
+
+
+def _mk_sided(vecs, sides, ids=None, blocks=1):
+    ids = list(range(len(vecs))) if ids is None else ids
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(
+            [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+        ),
+        "side": pa.array(sides, pa.int64()),
+    })
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def _bitext(ds, **kw):
+    rows = kmeans.bitext_match(ds, **kw).take_all()
+    return {r["query_id"]: (r["match_id"], r["dist_fp"]) for r in rows}
+
+
+def test_bitext_match_known_case_and_ties(ray_session):
+    # two well-separated groups; k=2 with ids 0,1 as seeds puts them in
+    # distinct clusters. Targets 0,2 are EQUIDISTANT from query 5
+    # (tie -> lowest target id); query 7 sits alone with target 4.
+    # All coords are powers of two so float32 represents them exactly
+    # and the quantized tie is genuine.
+    vecs = [
+        [0.0, 0.0],     # 0 target, cluster A
+        [10.0, 10.0],   # 1 target, cluster B
+        [0.5, 0.0],     # 2 target, cluster A
+        [0.25, 0.25],   # 3 target, cluster A
+        [10.5, 10.0],   # 4 target, cluster B
+        [0.25, 0.0],    # 5 query, cluster A: dist to 0 == dist to 2
+        [10.5, 10.25],  # 7 query, cluster B: uniquely closest to 4
+    ]
+    sides = [0, 0, 0, 0, 0, 1, 1]
+    got = _bitext(
+        _mk_sided(vecs, sides, ids=[0, 1, 2, 3, 4, 5, 7]),
+        k=2, n_iter=2,
+    )
+    s = 1 << kmeans.SCALE_BITS
+    q = np.floor(np.asarray(vecs, np.float32).astype(np.float64) * s
+                 ).astype(np.int64)
+    exp5 = int(((q[5] - q[0]) ** 2).sum())
+    assert ((q[5] - q[2]) ** 2).sum() == exp5  # genuinely tied
+    exp7 = int(((q[6] - q[4]) ** 2).sum())
+    assert got == {5: (0, exp5), 7: (4, exp7)}
+
+
+def test_bitext_match_targetless_cluster_emits_nothing(ray_session):
+    # cluster B holds only queries -> no output rows for them
+    vecs = [[0.0, 0.0], [10.0, 10.0], [0.1, 0.1], [10.1, 10.1]]
+    sides = [0, 1, 1, 1]
+    got = _bitext(_mk_sided(vecs, sides), k=2, n_iter=2)
+    assert set(got) == {2}  # only the query sharing cluster A
+    assert got[2][0] == 0
+
+
+def test_bitext_match_partition_and_chunk_invariant(ray_session):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(120, 6)).astype(np.float32)
+    sides = [i % 2 for i in range(120)]
+    a = _bitext(_mk_sided(vecs, sides, blocks=1), k=4, n_iter=2)
+    b = _bitext(_mk_sided(vecs, sides, blocks=9), k=4, n_iter=2)
+    # force the chunked argmin path (working set of ONE pair-dist each)
+    c = _bitext(
+        _mk_sided(vecs, sides, blocks=3), k=4, n_iter=2, max_pair_elems=1
+    )
+    assert a == b == c and len(a) > 0
