@@ -103,6 +103,10 @@ QUERY_NAMES = [
     "events_range_join",
     "best_per_host",
     "table_profile",
+    "soft_dedup",
+    "badwords_filter",
+    "domain_blocklist",
+    "bitext_mine",
 ]
 
 
