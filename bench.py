@@ -107,6 +107,7 @@ QUERY_NAMES = [
     "badwords_filter",
     "domain_blocklist",
     "bitext_mine",
+    "crawl_diff",
 ]
 
 

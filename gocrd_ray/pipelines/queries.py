@@ -4949,6 +4949,110 @@ SELECT query_id, match_id, dist_fp FROM (
 )
 
 
+def q_crawl_diff(sf_dir: str):
+    """Cross-snapshot crawl diff — the crawl-ops operator behind
+    re-crawl scheduling and index maintenance: classify every url key
+    as same / changed / gone / added between two crawl snapshots by
+    comparing content digests through a FULL OUTER co-partitioned
+    hash join (stages/join.partitioned_hash_join,
+    join_type='full outer') — the outer-join mode of the §2.6 J3
+    family. Both snapshots are corpus-scale; only (key, 32-hex
+    digest) rows shuffle, never text. Snapshots are simulated
+    deterministically: new drops doc_id%3==0 (gone), edits text for
+    doc_id%5==0 (changed), and adds doc_id<30 re-tagged +1000000
+    (added)."""
+    docs = _docs(sf_dir)
+
+    def old_side(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        digs = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in b.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "okey": pc.cast(b.column("doc_id"), pa.int64()),
+                "old_dig": pa.array(digs, pa.string()),
+            }
+        )
+
+    def new_side(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        b = b.filter(pc.is_valid(b.column("text")))
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = b.column("text").to_pylist()
+        keys: list[int] = []
+        digs: list[str] = []
+        for i, t in zip(ids, texts):
+            if i % 3 != 0:
+                t2 = t + " v2" if i % 5 == 0 else t
+                keys.append(int(i))
+                digs.append(hashlib.md5(t2.encode("utf-8")).hexdigest())
+            if i < 30:
+                keys.append(int(i) + 1000000)
+                digs.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "nkey": pa.array(keys, pa.int64()),
+                "new_dig": pa.array(digs, pa.string()),
+            }
+        )
+
+    old = docs.map_batches(old_side, batch_format="pyarrow")
+    new = docs.map_batches(new_side, batch_format="pyarrow")
+    joined = join.partitioned_hash_join(
+        old, new, left_key="okey", right_key="nkey", join_type="full outer"
+    )  # pyarrow coalesces the full-outer key pair into the LEFT name
+
+    def classify(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        has_old = pc.is_valid(b.column("old_dig")).to_numpy(
+            zero_copy_only=False
+        )
+        has_new = pc.is_valid(b.column("new_dig")).to_numpy(
+            zero_copy_only=False
+        )
+        same = pc.fill_null(
+            pc.equal(b.column("old_dig"), b.column("new_dig")), False
+        ).to_numpy(zero_copy_only=False)
+        status = np.where(
+            ~has_new, "gone",
+            np.where(~has_old, "added", np.where(same, "same", "changed")),
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(b.column("okey"), pa.int64()),
+                "status": pa.array(status.tolist(), pa.string()),
+            }
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
+SQL_CRAWL_DIFF = """
+WITH old AS (
+  SELECT doc_id AS key, md5(text) AS old_dig
+  FROM documents WHERE text IS NOT NULL
+), new AS (
+  SELECT doc_id AS key,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END)
+           AS new_dig
+  FROM documents WHERE text IS NOT NULL AND doc_id % 3 != 0
+  UNION ALL
+  SELECT doc_id + 1000000, md5(text) FROM documents
+  WHERE doc_id < 30 AND text IS NOT NULL
+)
+SELECT COALESCE(o.key, n.key) AS doc_id,
+       CASE WHEN n.new_dig IS NULL THEN 'gone'
+            WHEN o.old_dig IS NULL THEN 'added'
+            WHEN o.old_dig = n.new_dig THEN 'same'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.key = n.key
+"""
+
+
 # Registry order is deliberate: the driver samples the FIRST 50 entries
 # per round for its DuckDB side-by-side, so the window leads with
 #   (a) the 25 queries that had never received a driver oracle row
@@ -5017,6 +5121,7 @@ QUERIES = {
     "badwords_filter": (q_badwords_filter, SQL_BADWORDS_FILTER),
     "domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
     "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
+    "crawl_diff": (q_crawl_diff, SQL_CRAWL_DIFF),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),
