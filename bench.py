@@ -108,6 +108,9 @@ QUERY_NAMES = [
     "domain_blocklist",
     "bitext_mine",
     "crawl_diff",
+    "ngram_counts",
+    "temperature_sample",
+    "anchor_texts",
 ]
 
 

@@ -5053,6 +5053,84 @@ FROM old o FULL OUTER JOIN new n ON o.key = n.key
 """
 
 
+def q_ngram_counts(sf_dir: str):
+    """Distributed bigram count table (the KenLM / CCNet n-gram-LM
+    count build): per-block distinct partial counts, ONE narrow (gram,
+    n) groupby, HAVING-style min-count prune after the global sum."""
+    from ..stages import text_stats
+
+    return text_stats.bigram_counts(
+        _docs(sf_dir, columns=("doc_id", "text")), min_count=4
+    )
+
+
+SQL_NGRAM_COUNTS = """
+SELECT gram, count(*)::BIGINT AS n FROM (
+  SELECT unnest([l[i] || ' ' || l[i + 1] for i in range(1, len(l))]) AS gram
+  FROM (SELECT string_split(text, ' ') AS l FROM documents)
+) GROUP BY gram HAVING count(*) >= 4
+"""
+
+
+def q_temperature_sample(sf_dir: str):
+    """mT5-style temperature (alpha=0.5) language rebalancing with
+    EXACT per-language keep counts k_l = floor(sqrt(n_l * n_min)) in
+    deterministic md5 order — one rank shuffle, text never moves."""
+    from ..stages import mix
+
+    return mix.temperature_sample(_docs(sf_dir, columns=("doc_id", "lang")))
+
+
+SQL_TEMPERATURE_SAMPLE = """
+WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS nmin FROM c),
+k AS (SELECT lang, CAST(floor(sqrt((n * nmin)::DOUBLE)) AS BIGINT) AS k
+      FROM c, m),
+r AS (SELECT doc_id, lang,
+        row_number() OVER (
+          PARTITION BY lang
+          ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT,
+                   doc_id) AS rk
+      FROM documents)
+SELECT r.doc_id, r.lang FROM r JOIN k USING (lang) WHERE r.rk <= k.k
+"""
+
+
+def q_anchor_texts(sf_dir: str):
+    """Anchor-text aggregation per link target over the generated HTML
+    corpus (the web-graph "how others describe this page" signal):
+    inlink count, anchor vocabulary size, majority anchor."""
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pages = docs.map_batches(
+        pagegen.html_pages_batch_from_documents, batch_format="pyarrow"
+    )
+    return boilerplate.anchor_stats(pages)
+
+
+SQL_ANCHOR_TEXTS = """
+WITH l AS (SELECT doc_id, unnest(range(8)) AS s FROM documents),
+a AS (
+  SELECT CASE WHEN s = 0 THEN '/' WHEN s = 1 THEN '/about'
+              ELSE '/cat/' || doc_id::VARCHAR || '/' || (s - 2)::VARCHAR
+         END AS target,
+         CASE WHEN s = 0 THEN 'Home' WHEN s = 1 THEN 'About'
+              ELSE 'category link number ' || (s - 2)::VARCHAR
+         END AS anchor
+  FROM l),
+c AS (SELECT target, anchor, count(*)::BIGINT AS n FROM a GROUP BY 1, 2)
+SELECT target, n_inlinks, n_anchors, anchor AS top_anchor FROM (
+  SELECT target, anchor,
+         CAST(sum(n) OVER (PARTITION BY target) AS BIGINT) AS n_inlinks,
+         CAST(count(*) OVER (PARTITION BY target) AS BIGINT) AS n_anchors,
+         row_number() OVER (
+           PARTITION BY target ORDER BY n DESC, anchor ASC) AS rk
+  FROM c)
+WHERE rk = 1
+"""
+
+
 # Registry order is deliberate: the driver samples the FIRST 50 entries
 # per round for its DuckDB side-by-side, so the window leads with
 #   (a) the 25 queries that had never received a driver oracle row
@@ -5122,6 +5200,9 @@ QUERIES = {
     "domain_blocklist": (q_domain_blocklist, SQL_DOMAIN_BLOCKLIST),
     "bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
     "crawl_diff": (q_crawl_diff, SQL_CRAWL_DIFF),
+    "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
+    "temperature_sample": (q_temperature_sample, SQL_TEMPERATURE_SAMPLE),
+    "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),

@@ -427,3 +427,93 @@ def extract_links(pages_ds, **kwargs):
     return pages_ds.map_batches(
         extract_links_batch, batch_format="pyarrow", **kwargs
     )
+
+
+# anchor harvesting: href + inner text in one pass. Inner markup is
+# stripped (tags removed, whitespace collapsed) but entities are kept
+# verbatim — a regex-level contract, same altitude as the link scanner.
+_ANCHOR_RE = _re.compile(
+    r'<a\b[^>]*\bhref="([^"]*)"[^>]*>(.*?)</a>', _re.DOTALL | _re.IGNORECASE
+)
+_TAG_STRIP_RE = _re.compile(r"<[^>]*>")
+_WS_RE = _re.compile(r"\s+")
+
+
+def extract_anchors_batch(batch: pa.Table) -> pa.Table:
+    """(url, target, anchor) for every ``<a href>`` — the link table
+    WITH its anchor text, the raw input of anchor-text aggregation."""
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    out_u, out_t, out_a = [], [], []
+    for u, h in zip(urls, htmls):
+        s = (h or b"").decode("utf-8", errors="replace")
+        for m in _ANCHOR_RE.finditer(s):
+            out_u.append(u)
+            out_t.append(m.group(1))
+            out_a.append(
+                _WS_RE.sub(" ", _TAG_STRIP_RE.sub("", m.group(2))).strip()
+            )
+    return pa.table(
+        {
+            "url": pa.array(out_u, pa.string()),
+            "target": pa.array(out_t, pa.string()),
+            "anchor": pa.array(out_a, pa.string()),
+        }
+    )
+
+
+def anchor_stats(pages_ds, **kwargs):
+    """Per-target anchor-text aggregation — the web-graph signal table
+    (how a page is DESCRIBED by pages linking to it: inlink count,
+    anchor vocabulary size, majority anchor).
+
+    Scale shape: the per-occurrence anchor stream collapses to
+    per-block DISTINCT ``(target, anchor)`` partial counts inside
+    ``map_batches`` (the "Home"-on-every-page hot pair costs one row
+    per block), then ONE narrow ``groupby(target, anchor).sum``
+    shuffle; the final per-target fold runs in ``map_groups`` over
+    groups whose size is the target's distinct-anchor count — bounded
+    by vocabulary, not by inlink count, so a 10^9-inlink homepage is
+    still a tiny group.
+
+    Output: (target, n_inlinks, n_anchors, top_anchor) where
+    top_anchor is the most frequent anchor, ties broken ascending.
+    """
+    import pyarrow.compute as pc
+
+    anchors = pages_ds.map_batches(
+        extract_anchors_batch, batch_format="pyarrow", **kwargs
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"target": b.column("target"), "anchor": b.column("anchor")})
+        part = pa.TableGroupBy(t, ["target", "anchor"]).aggregate(
+            [([], "count_all")]
+        )
+        return part.rename_columns(["target", "anchor", "n"])
+
+    counted = (
+        anchors.map_batches(partial, batch_format="pyarrow")
+        .groupby(["target", "anchor"])
+        .sum("n")
+    )
+
+    def finish(group: pa.Table) -> pa.Table:
+        n = pc.cast(group.column("sum(n)"), pa.int64())
+        order = pa.table(
+            {"anchor": group.column("anchor"), "n": n}
+        ).sort_by([("n", "descending"), ("anchor", "ascending")])
+        return pa.table(
+            {
+                "target": group.column("target").slice(0, 1),
+                "n_inlinks": pa.array(
+                    [pc.sum(n).as_py() or 0], pa.int64()
+                ),
+                "n_anchors": pa.array([len(group)], pa.int64()),
+                "top_anchor": order.column("anchor").slice(0, 1),
+            }
+        )
+
+    return counted.groupby("target").map_groups(
+        finish, batch_format="pyarrow"
+    )

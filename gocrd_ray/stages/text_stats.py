@@ -540,3 +540,82 @@ def token_entropy(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         lambda b: entropy_batch(b, text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
     )
+
+
+def bigram_counts_partial(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Per-block partial bigram counts: (gram, n) — one row per DISTINCT
+    bigram in the block, however often it repeats.
+
+    Tokenization is the engine-wide single-space contract (the same one
+    ``top_tokens`` / ``string_split(text, ' ')`` pin). Adjacent-pair
+    construction is fully vectorized: the flattened token child array is
+    indexed with numpy left/right position vectors derived from the list
+    lengths — no per-row Python.
+
+    Scale shape (the KenLM / CCNet count-table build): the corpus-sized
+    bigram stream collapses to per-block distinct rows HERE, so the one
+    global ``groupby(gram).sum`` shuffle moves only the block-distinct
+    vocabulary, never one row per occurrence — the Zipf head costs one
+    row per block.
+    """
+    txt = pc.fill_null(batch.column(text_col), "")
+    lists = pc.split_pattern(txt, " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    lens = lens.astype(np.int64)
+    m = np.maximum(lens - 1, 0)
+    total = int(m.sum())
+    empty = pa.table(
+        {"gram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+    if total == 0:
+        return empty
+    starts = np.cumsum(lens) - lens
+    # left[i] enumerates, for every row, positions start .. start+len-2
+    left = np.repeat(starts, m) + (
+        np.arange(total) - np.repeat(np.cumsum(m) - m, m)
+    )
+    li = pa.array(left)
+    ri = pa.array(left + 1)
+    grams = pc.binary_join_element_wise(flat.take(li), flat.take(ri), " ")
+    part = pa.TableGroupBy(pa.table({"gram": grams}), "gram").aggregate(
+        [("gram", "count")]
+    )
+    name_map = {"gram": "gram", "gram_count": "n"}
+    part = part.rename_columns([name_map[c] for c in part.column_names])
+    return part.set_column(
+        part.schema.get_field_index("n"),
+        "n",
+        pc.cast(part.column("n"), pa.int64()),
+    )
+
+
+def bigram_counts(ds, *, min_count: int = 2, text_col: str = "text"):
+    """Distributed bigram count table with a min-count prune — the
+    n-gram-LM / CCNet count-table build (Heafield, KenLM, ACL 2011
+    family) over the corpus.
+
+    partial counts per block (see :func:`bigram_counts_partial`) → ONE
+    narrow (gram, n) groupby sum → streaming ``n >= min_count`` filter.
+    The prune runs AFTER the global sum (a bigram rare in every block
+    can still clear the global threshold), exactly like the SQL
+    ``HAVING``.
+    """
+    parts = ds.map_batches(
+        lambda b: bigram_counts_partial(b, text_col=text_col),
+        batch_format="pyarrow",
+    )
+    agg = parts.groupby("gram").sum("n")
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b.rename_columns(["gram", "n"])
+        t = t.set_column(
+            t.schema.get_field_index("n"),
+            "n",
+            pc.cast(t.column("n"), pa.int64()),
+        )
+        return t.filter(pc.greater_equal(t.column("n"), min_count))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

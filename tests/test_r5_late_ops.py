@@ -1,0 +1,137 @@
+"""Late round-5 operators: bigram count table, temperature resampling,
+anchor-text aggregation — stage-level edge cases beyond the DuckDB
+parity gate."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gocrd_ray.stages import mix
+from gocrd_ray.stages.boilerplate import extract_anchors_batch
+from gocrd_ray.stages.text_stats import bigram_counts, bigram_counts_partial
+
+
+def _naive_bigrams(texts):
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        toks = t.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            c[f"{a} {b}"] += 1
+    return dict(c)
+
+
+def test_bigram_partial_matches_naive():
+    texts = [
+        "a b c a b", None, "", "x", "a a a a",
+        "one two", "  leading", "trail  ", "a  b",  # empty tokens kept
+    ]
+    got = bigram_counts_partial(pa.table({"text": pa.array(texts)}))
+    want = _naive_bigrams(texts)
+    got_d = dict(zip(got.column("gram").to_pylist(), got.column("n").to_pylist()))
+    assert got_d == want
+
+
+def test_bigram_partial_sliced_batch():
+    # a sliced table exercises non-zero array offsets through the
+    # flatten/length index arithmetic
+    t = pa.table({"text": pa.array(["pad pad", "a b c", "b c d"])}).slice(1)
+    got = bigram_counts_partial(t)
+    got_d = dict(zip(got.column("gram").to_pylist(), got.column("n").to_pylist()))
+    assert got_d == {"a b": 1, "b c": 2, "c d": 1}
+
+
+def test_bigram_counts_global_prune_after_sum(ray_session):
+    import ray.data
+
+    # 'q r' appears once per row across 6 rows: rare in every block,
+    # clears min_count=4 only after the global sum
+    rows = ["q r"] * 6 + ["s t"] * 2
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(rows)})).repartition(4)
+    out = bigram_counts(ds, min_count=4).to_pandas()
+    assert dict(zip(out["gram"], out["n"])) == {"q r": 6}
+
+
+def test_temperature_sample_exact_counts_and_determinism(ray_session):
+    import ray.data
+
+    # 400 'en', 100 'de', 25 'fi' → k = floor(sqrt(n*25)) = 100, 50, 25
+    ids = list(range(525))
+    langs = ["en"] * 400 + ["de"] * 100 + ["fi"] * 25
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "lang": pa.array(langs)})
+    ds = ray.data.from_arrow(tbl).repartition(7)
+    out = mix.temperature_sample(ds).to_pandas()
+    got = out.groupby("lang")["doc_id"].count().to_dict()
+    assert got == {"en": 100, "de": 50, "fi": 25}
+
+    # kept set = first k per lang in (md5_56(doc_id), doc_id) order
+    def key(i):
+        return (int(hashlib.md5(str(i).encode()).hexdigest()[:14], 16), i)
+
+    for lang, k in (("en", 100), ("de", 50), ("fi", 25)):
+        pool = [i for i, l in zip(ids, langs) if l == lang]
+        want = set(sorted(pool, key=key)[:k])
+        assert set(out[out["lang"] == lang]["doc_id"]) == want
+
+    # partitioning-independent
+    out2 = mix.temperature_sample(
+        ray.data.from_arrow(tbl).repartition(2)
+    ).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_temperature_sample_lang_cap(ray_session):
+    import ray.data
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "lang": pa.array([f"l{i}" for i in range(200)]),
+    })
+    with pytest.raises(ValueError, match="128"):
+        mix.temperature_sample(ray.data.from_arrow(tbl))
+
+
+def test_extract_anchors_strips_inner_markup():
+    html = (
+        b'<a href="/x"><b>Bold</b>\n  text</a>'
+        b'<a class="c" href="/y" rel="nofollow">plain</a>'
+        b'<a name="no-href">skipped</a>'
+    )
+    t = pa.table({"url": ["u"], "html": pa.array([html], pa.binary())})
+    got = extract_anchors_batch(t)
+    assert got.column("target").to_pylist() == ["/x", "/y"]
+    assert got.column("anchor").to_pylist() == ["Bold text", "plain"]
+
+
+def test_anchor_stats_majority_and_ties(ray_session):
+    import ray.data
+
+    from gocrd_ray.stages.boilerplate import anchor_stats
+
+    def page(links):
+        return "".join(f'<a href="{t}">{a}</a>' for t, a in links).encode()
+
+    pages = pa.table({
+        "url": ["p1", "p2", "p3"],
+        "html": pa.array([
+            page([("/t", "alpha"), ("/t", "beta")]),
+            page([("/t", "beta"), ("/u", "gamma")]),
+            page([("/t", "alpha")]),  # alpha ties beta 2-2? no: alpha 2, beta 2
+        ], pa.binary()),
+    })
+    out = anchor_stats(ray.data.from_arrow(pages)).to_pandas()
+    row_t = out[out["target"] == "/t"].iloc[0]
+    # alpha and beta both appear twice → tie broken ascending
+    assert row_t["n_inlinks"] == 4
+    assert row_t["n_anchors"] == 2
+    assert row_t["top_anchor"] == "alpha"
+    row_u = out[out["target"] == "/u"].iloc[0]
+    assert (row_u["n_inlinks"], row_u["n_anchors"], row_u["top_anchor"]) == (
+        1, 1, "gamma",
+    )
