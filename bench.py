@@ -111,6 +111,9 @@ QUERY_NAMES = [
     "ngram_counts",
     "temperature_sample",
     "anchor_texts",
+    "event_funnel",
+    "cohort_retention",
+    "fix_encoding",
 ]
 
 

@@ -5131,6 +5131,104 @@ WHERE rk = 1
 """
 
 
+def q_event_funnel(sf_dir: str):
+    """Ordered view→click→purchase funnel: users reaching each step
+    strictly after their first prior-step event. One user shuffle; the
+    result is a 3-row table."""
+    from ..stages import window
+
+    return window.event_funnel(
+        _events(sf_dir, columns=("user_id", "ts", "event_type"))
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT 1::BIGINT AS step, 'view' AS step_name,
+       (SELECT count(*) FROM s1)::BIGINT AS n_users
+UNION ALL SELECT 2::BIGINT, 'click', (SELECT count(*) FROM s2)::BIGINT
+UNION ALL SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT
+"""
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix over the events table: cohort =
+    week of first event, cell = cohort users active at each week
+    offset."""
+    from ..stages import window
+
+    return window.cohort_retention(
+        _events(sf_dir, columns=("user_id", "ts"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH a AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+), f AS (
+  SELECT user_id, min(wk) AS cohort FROM a GROUP BY user_id
+), d AS (
+  SELECT DISTINCT a.user_id, f.cohort, a.wk - f.cohort AS off
+  FROM a JOIN f USING (user_id)
+)
+SELECT cohort::BIGINT AS cohort_week, off::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM d GROUP BY 1, 2
+"""
+
+
+_MOJIBAKE_SUFFIX = " — café №"
+
+
+def q_fix_encoding(sf_dir: str):
+    """Encoding-hygiene repair: rows deterministically corrupted with
+    UTF-8-read-as-Latin-1 mojibake (doc_id % 4 == 1, non-ASCII suffix
+    attached first so the repair is observable) must come back
+    bit-identical to the clean text; untouched rows pass through. The
+    oracle reconstructs the expected post-repair corpus directly."""
+    from ..stages import text_stats
+
+    docs = _docs(sf_dir, columns=("doc_id", "text"))
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        txt = b.column("text").to_pylist()
+        out = [
+            (t + _MOJIBAKE_SUFFIX).encode("utf-8").decode("latin-1")
+            if (t is not None and i % 4 == 1) else t
+            for i, t in zip(ids, txt)
+        ]
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "text": pa.array(out, pa.string()),
+        })
+
+    return text_stats.fix_mojibake(
+        docs.map_batches(corrupt, batch_format="pyarrow")
+    )
+
+
+SQL_FIX_ENCODING = """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 1 THEN text || ' — café №'
+            ELSE text END AS text
+FROM documents
+"""
+
+
 # Registry order is deliberate: the driver samples the FIRST 50 entries
 # per round for its DuckDB side-by-side, so the window leads with
 #   (a) the 25 queries that had never received a driver oracle row
@@ -5203,6 +5301,9 @@ QUERIES = {
     "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
     "temperature_sample": (q_temperature_sample, SQL_TEMPERATURE_SAMPLE),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
+    "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "fix_encoding": (q_fix_encoding, SQL_FIX_ENCODING),
     # --- (b) oldest evidence: last driver-checked in r03 ------------
     "extract_text": (q_extract_text, SQL_EXTRACT_TEXT),
     "html_main_text": (q_html_main_text, SQL_HTML_MAIN_TEXT),

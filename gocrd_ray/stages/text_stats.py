@@ -619,3 +619,52 @@ def bigram_counts(ds, *, min_count: int = 2, text_col: str = "text"):
         return t.filter(pc.greater_equal(t.column("n"), min_count))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _repair_mojibake(s: str) -> str:
+    """ftfy-style single-step repair of UTF-8-read-as-Latin-1 mojibake:
+    re-encode as Latin-1 and re-decode as UTF-8; keep the original
+    unless BOTH steps succeed over the whole string (the conservative
+    fully-consistent rule -- real Latin-1 text is invalid UTF-8 and
+    passes through untouched)."""
+    try:
+        b = s.encode("latin-1")
+    except UnicodeEncodeError:
+        return s
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return s
+
+
+def fix_mojibake_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Repair mojibake text columns (the web-crawl encoding-hygiene
+    step). Vectorized prefilter: only rows containing U+0080-U+00FF
+    codepoints (the mojibake signature -- impossible in clean ASCII,
+    and the only codepoints Latin-1 mis-decoding can produce) take the
+    per-row repair path; clean blocks pass through zero-copy."""
+    text = batch.column(text_col)
+    cand = pc.match_substring_regex(text, "[\u0080-\u00ff]")
+    n_cand = pc.sum(pc.cast(pc.fill_null(cand, False), pa.int64())).as_py() or 0
+    if n_cand == 0:
+        return batch
+    vals = text.to_pylist()
+    mask = pc.fill_null(cand, False).to_pylist()
+    fixed = [
+        _repair_mojibake(v) if (m and v is not None) else v
+        for v, m in zip(vals, mask)
+    ]
+    return batch.set_column(
+        batch.schema.get_field_index(text_col),
+        text_col,
+        pa.array(fixed, pa.string()),
+    )
+
+
+def fix_mojibake(ds, *, text_col: str = "text"):
+    """Streaming encoding repair over the corpus -- pure per-batch map,
+    zero shuffle; see :func:`fix_mojibake_batch`."""
+    return ds.map_batches(
+        lambda b: fix_mojibake_batch(b, text_col=text_col),
+        batch_format="pyarrow",
+    )

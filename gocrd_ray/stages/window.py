@@ -254,3 +254,120 @@ def sliding_window(events_ds, *, size_hours: int = 2, step_hours: int = 1):
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def event_funnel(events_ds, steps=("view", "click", "purchase")):
+    """Ordered multi-step funnel (the product-analytics staple): how
+    many users complete step 1, then step 2 STRICTLY after their first
+    step-1 event, and so on. Returns one row per step:
+    (step, step_name, n_users), n_users = users reaching >= step.
+
+    Scale shape: ONE groupby(user_id) hash shuffle of the narrow
+    (user, ts, type) projection; the per-user strict-order scan is
+    vectorized numpy over that user's events only (groups are
+    event-count-per-user sized, never corpus-sized); the per-user
+    reached values collapse through a tiny (reached, n) histogram
+    groupby — the returned table is len(steps) rows, the only
+    driver-side materialization.
+    """
+    import numpy as np
+
+    steps = tuple(steps)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        types = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        reached = 0
+        t_prev = None
+        for s in steps:
+            m = types == s
+            if t_prev is not None:
+                m = m & (ts > t_prev)
+            if not m.any():
+                break
+            t_prev = ts[m].min()
+            reached += 1
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "reached": pa.array([reached], pa.int64()),
+        })
+
+    per = events_ds.groupby("user_id").map_groups(
+        per_user, batch_format="pyarrow"
+    )
+
+    def hist(b: pa.Table) -> pa.Table:
+        part = pa.TableGroupBy(b.select(["reached"]), "reached").aggregate(
+            [([], "count_all")]
+        )
+        return part.rename_columns(["reached", "n"])
+
+    agg = per.map_batches(hist, batch_format="pyarrow").groupby(
+        "reached"
+    ).sum("n")
+    rows = agg.take_all()  # bounded: <= len(steps)+1 rows
+    counts = {int(r["reached"]): int(r["sum(n)"]) for r in rows}
+    out_n = [
+        sum(n for r, n in counts.items() if r >= s)
+        for s in range(1, len(steps) + 1)
+    ]
+    return pa.table({
+        "step": pa.array(range(1, len(steps) + 1), pa.int64()),
+        "step_name": pa.array(list(steps), pa.string()),
+        "n_users": pa.array(out_n, pa.int64()),
+    })
+
+
+WEEK_US = 7 * 86400 * 1_000_000
+
+
+def cohort_retention(events_ds):
+    """Weekly cohort retention (the growth-analytics staple): users are
+    cohorted by the week of their FIRST event; a (cohort_week,
+    week_offset) cell counts the cohort's users active in that week.
+
+    Scale shape: ONE groupby(user_id) shuffle of the narrow (user, ts)
+    projection — the per-user fold (cohort = min week, distinct
+    offsets) is numpy over that user's events only — then the per-user
+    (cohort, offset) rows collapse through per-block DISTINCT partial
+    counts into ONE narrow (cohort_week, week_offset) groupby; cells,
+    not users, are what the final shuffle moves. Weeks are integer
+    epoch-microsecond floors (``epoch_us // WEEK_US``) so both engines
+    agree bit-for-bit.
+    """
+    import numpy as np
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        wk = ts.astype("datetime64[us]").astype(np.int64) // WEEK_US
+        cohort = int(wk.min())
+        offs = np.unique(wk - cohort)
+        return pa.table({
+            "cohort_week": pa.array([cohort] * len(offs), pa.int64()),
+            "week_offset": pa.array(offs, pa.int64()),
+        })
+
+    cells = events_ds.groupby("user_id").map_groups(
+        per_user, batch_format="pyarrow"
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        part = pa.TableGroupBy(
+            b.select(["cohort_week", "week_offset"]),
+            ["cohort_week", "week_offset"],
+        ).aggregate([([], "count_all")])
+        return part.rename_columns(["cohort_week", "week_offset", "n"])
+
+    agg = cells.map_batches(partial, batch_format="pyarrow").groupby(
+        ["cohort_week", "week_offset"]
+    ).sum("n")
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b.rename_columns(["cohort_week", "week_offset", "n_users"])
+        return t.set_column(
+            t.schema.get_field_index("n_users"),
+            "n_users",
+            pc.cast(t.column("n_users"), pa.int64()),
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -122,7 +122,7 @@ def test_anchor_stats_majority_and_ties(ray_session):
         "html": pa.array([
             page([("/t", "alpha"), ("/t", "beta")]),
             page([("/t", "beta"), ("/u", "gamma")]),
-            page([("/t", "alpha")]),  # alpha ties beta 2-2? no: alpha 2, beta 2
+            page([("/t", "alpha")]),  # → /t sees alpha ×2, beta ×2
         ], pa.binary()),
     })
     out = anchor_stats(ray.data.from_arrow(pages)).to_pandas()
@@ -135,3 +135,92 @@ def test_anchor_stats_majority_and_ties(ray_session):
     assert (row_u["n_inlinks"], row_u["n_anchors"], row_u["top_anchor"]) == (
         1, 1, "gamma",
     )
+
+
+def _ev(rows):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    return pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(
+            [base + datetime.timedelta(hours=r[1]) for r in rows],
+            pa.timestamp("us"),
+        ),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+
+def test_event_funnel_strict_order(ray_session):
+    import ray.data
+
+    from gocrd_ray.stages.window import event_funnel
+
+    rows = [
+        # u1 completes all three in order
+        (1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+        # u2: click BEFORE the first view — stops at step 1
+        (2, 0, "click"), (2, 1, "view"),
+        # u3: view+click, purchase exactly AT the click ts (strict >) — step 2
+        (3, 0, "view"), (3, 1, "click"), (3, 1, "purchase"),
+        # u4: never views — step 0
+        (4, 0, "purchase"), (4, 1, "click"),
+        # u5: two views; click after the FIRST view counts
+        (5, 0, "view"), (5, 5, "view"), (5, 1, "click"), (5, 2, "purchase"),
+    ]
+    out = event_funnel(ray.data.from_arrow(_ev(rows)).repartition(3))
+    d = {r["step_name"]: r["n_users"] for r in out.to_pylist()}
+    assert d == {"view": 4, "click": 3, "purchase": 2}
+    assert out.column("step").to_pylist() == [1, 2, 3]
+
+
+def test_cohort_retention_distinct_weeks(ray_session):
+    import ray.data
+
+    from gocrd_ray.stages.window import WEEK_US, cohort_retention
+
+    # u1 first event week W, active W and W+2 (twice in W+2 → counts once)
+    # u2 first event week W+1, active W+1 only
+    rows = [
+        (1, 0, "view"), (1, 24, "view"),             # week 0 twice
+        (1, 14 * 24, "view"), (1, 15 * 24, "view"),  # week 2 twice
+        (2, 8 * 24, "view"),                          # week 1
+    ]
+    out = cohort_retention(
+        ray.data.from_arrow(_ev(rows)).repartition(2)
+    ).to_pandas()
+    base_wk = _ev(rows).column("ts")[0].value // WEEK_US
+    got = {
+        (r.cohort_week - base_wk, r.week_offset): r.n_users
+        for r in out.itertuples()
+    }
+    assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_fix_mojibake_rules():
+    from gocrd_ray.stages.text_stats import fix_mojibake_batch
+
+    orig = "hello café — naïve №"
+    corrupted = orig.encode("utf-8").decode("latin-1")
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            corrupted,             # repaired
+            "plain ascii",         # untouched (fast path)
+            "real latin-1: über",  # NOT valid utf-8 bytes → untouched
+            None,                  # null passthrough
+            corrupted + " über",   # mixed: invalid as a whole → untouched
+        ]),
+    })
+    got = fix_mojibake_batch(b).column("text").to_pylist()
+    assert got[0] == orig
+    assert got[1] == "plain ascii"
+    assert got[2] == "real latin-1: über"
+    assert got[3] is None
+    assert got[4] == corrupted + " über"
+    # idempotent: a repaired block passes through unchanged
+    again = fix_mojibake_batch(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array([got[0]])})
+    ).column("text").to_pylist()
+    assert again == [orig]
