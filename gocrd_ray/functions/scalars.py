@@ -134,7 +134,7 @@ def span_slice(text: str, span: dict) -> str:
 
 
 def domain_suffix_hits(hosts, blocked: set[str],
-                       max_labels: int = 8) -> pa.Array:
+                       max_labels: int = 127) -> pa.Array:
     """Boolean mask: host is blocked under DOMAIN-SUFFIX semantics
     (UT1 / Pi-hole style blocklists): ``example.com`` in the list
     blocks ``example.com`` AND every subdomain (``a.b.example.com``)
@@ -142,10 +142,15 @@ def domain_suffix_hits(hosts, blocked: set[str],
 
     Fully vectorized: the host column is tested against the set, then
     the leading label is stripped with ONE RE2 kernel per depth
-    (``^[^.]*\\.`` → the parent domain) and re-tested — ≤ max_labels
-    ``is_in`` passes total, each O(batch). Rows whose strip produced
+    (``^[^.]*\\.`` → the parent domain) and re-tested — one ``is_in``
+    pass per distinct depth PRESENT IN THE BATCH (the loop exits as
+    soon as nothing strips), each O(batch). Rows whose strip produced
     no change (no dot left) are masked out of the re-test so a bare
     TLD is never matched at the wrong depth. Null hosts → not blocked.
+    ``max_labels`` (default 127, the DNS label bound) is a safety
+    valve, not a truncation: if hosts are still stripping at the cap
+    the kernel raises instead of letting deeper-nested hosts silently
+    evade the blocklist.
 
     The broadcast ``is_in`` value-set is right to ~10^7 entries; a
     10^9-entry blocklist swaps the set for Bloom bits + the exact
@@ -157,20 +162,27 @@ def domain_suffix_hits(hosts, blocked: set[str],
         cur = cur.combine_chunks()
     value_set = pa.array(sorted(blocked), pa.string())
     hit = pc.is_in(cur, value_set=value_set)
-    for _ in range(max_labels - 1):
+    for depth in range(max_labels):
         nxt = pc.replace_substring_regex(
             cur, pattern=r"^[^.]*\.", replacement="", max_replacements=1
         )
         stripped = pc.not_equal(nxt, cur)
         if not pc.any(stripped).as_py():
             break
+        if depth == max_labels - 1:
+            raise ValueError(
+                f"domain_suffix_hits: hosts still nested after "
+                f"{max_labels} label strips — raise max_labels (DNS "
+                "caps labels at 127) instead of letting deep hosts "
+                "evade the blocklist"
+            )
         hit = pc.or_(hit, pc.and_(stripped, pc.is_in(nxt, value_set=value_set)))
         cur = nxt
     return hit
 
 
 def suffix_blocklist_filter(ds, blocked: set[str], host_col: str = "host",
-                            max_labels: int = 8):
+                            max_labels: int = 127):
     """Drop rows whose ``host_col`` falls under a blocked domain suffix
     (see ``domain_suffix_hits``) — the crawl-pipeline domain-exclusion
     stage with registrable-domain semantics (one ``example.com`` entry

@@ -4848,7 +4848,7 @@ def q_domain_blocklist(sf_dir: str):
     blocked registrable domain kills the apex host AND every
     subdomain. Hosts are synthesized at two depths (every 4th doc gets
     a cdnK. prefix) so the suffix rule — not exact matching — decides
-    the cdn rows. Vectorized suffix expansion: ≤8 strip-one-label RE2
+    the cdn rows. Vectorized suffix expansion: strip-one-label RE2
     passes + is_in (functions/scalars.domain_suffix_hits); pure
     streaming map, zero shuffle."""
     import numpy as np

@@ -71,9 +71,22 @@ def write_jsonl(ds, path: str, *, ts_cols: tuple[str, ...] = ("warc_ts",),
 def read_jsonl(paths, *, ts_cols: tuple[str, ...] = ("warc_ts",),
                **kwargs) -> ray.data.Dataset:
     """Read JSON-lines shards (plain or .gz) into a Dataset; timestamp
-    columns named in ``ts_cols`` are parsed back to timestamp[us]."""
-    first = paths[0] if isinstance(paths, (list, tuple)) else paths
-    if str(first).endswith(".gz"):
+    columns named in ``ts_cols`` are parsed back to timestamp[us].
+
+    Compression is decided per CALL, not per file (Ray's open-stream
+    args are global to the read), so a path list must be uniformly
+    plain or uniformly .gz — mixed lists raise loudly here instead of
+    failing inside read tasks (or worse, gunzipping plain shards);
+    issue two reads and ``union`` them."""
+    path_list = list(paths) if isinstance(paths, (list, tuple)) else [paths]
+    gz = {str(p).endswith(".gz") for p in path_list}
+    if gz == {True, False}:
+        raise ValueError(
+            "read_jsonl: mixed .gz and plain shards in one call — "
+            "compression is a per-call setting; read each group "
+            "separately and union the Datasets"
+        )
+    if gz == {True}:
         kwargs.setdefault("arrow_open_stream_args", {"compression": "gzip"})
         kwargs.setdefault("file_extensions", None)
     ds = ray.data.read_json(paths, **kwargs)

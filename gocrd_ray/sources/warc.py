@@ -328,6 +328,17 @@ class WarcDatasink(BlockBasedFileDatasink):
                 "write_warc: null payloads cannot cross the WARC "
                 "boundary (a record always has a body) — filter or "
                 "fill them first")
+        # the other mandatory header fields get the same loud,
+        # column-named contract (a null here would otherwise surface
+        # as an opaque AttributeError deep inside the write task)
+        for col in ("rec_id", "warc_ts") + (
+            ("rec_type",) if "rec_type" in t.column_names else ()
+        ):
+            if t.column(col).null_count:
+                raise TypeError(
+                    f"write_warc: null values in mandatory header "
+                    f"column {col!r} — every WARC record needs it; "
+                    "filter or fill them first")
         rec_ids = t.column("rec_id").to_pylist()
         urls = (t.column("url").to_pylist()
                 if "url" in t.column_names else [None] * n)

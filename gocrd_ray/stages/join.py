@@ -243,6 +243,12 @@ def interval_join_broadcast(left_ds, intervals: pa.Table, *,
         interval_cols
         or [c for c in intervals.schema.names if c not in (lo_col, hi_col)]
     )
+    overlap = set(left_cols) & set(interval_cols)
+    if overlap:
+        # same loud contract as partitioned_hash_join — a dict-key
+        # collision would silently return interval values under the
+        # left column's name
+        raise ValueError(f"column collision: {sorted(overlap)}")
 
     def _as_i64(col) -> "np.ndarray":
         if isinstance(col, pa.ChunkedArray):

@@ -55,8 +55,18 @@ import pyarrow as pa
 
 SCALE_BITS = 20
 _SCALE = float(1 << SCALE_BITS)
-# |q| beyond this risks int64 overflow in the per-point distance sum
-_Q_ABS_MAX = 1 << 31
+
+
+def _q_abs_max(dim: int) -> int:
+    """Largest |q| that provably cannot overflow the int64 per-point
+    squared-distance sum: dist = sum_dim (q_i - c_i)^2 with
+    |q_i - c_i| <= 2*|q|_max (centroids are floor-div means, so they
+    stay inside the quantized hull), hence we need
+    dim * (2*qmax)^2 <= 2^63 - 1. Exact integer sqrt — no float
+    rounding at the boundary."""
+    import math
+
+    return math.isqrt((2**63 - 1) // (4 * max(dim, 1)))
 
 
 def _floordiv(s: np.ndarray, n: int) -> np.ndarray:
@@ -76,12 +86,14 @@ def _quantize(emb_col, dim_guard: int = 4096) -> np.ndarray:
         return np.empty((0, 0), dtype=np.int64)
     dim = len(flat) // n
     q = np.floor(flat.astype(np.float64) * _SCALE).astype(np.int64)
-    if dim > dim_guard or (len(q) and np.abs(q).max() >= _Q_ABS_MAX):
+    qmax = int(np.abs(q).max()) if len(q) else 0
+    if dim > dim_guard or qmax > _q_abs_max(dim):
         raise ValueError(
-            "kmeans fixed-point overflow guard: |quantized| must stay "
-            f"< 2^31 and dim <= {dim_guard} (got dim={dim}, "
-            f"max|q|={np.abs(q).max() if len(q) else 0}); rescale the "
-            "embeddings or lower SCALE_BITS"
+            "kmeans fixed-point overflow guard: the int64 distance sum "
+            f"needs dim * (2*|q|)^2 <= 2^63-1, i.e. |quantized| <= "
+            f"{_q_abs_max(dim)} at dim={dim}, and dim <= {dim_guard} "
+            f"(got max|q|={qmax}); rescale the embeddings or lower "
+            "SCALE_BITS"
         )
     return q.reshape(n, dim)
 
@@ -119,6 +131,24 @@ class _InitPartial:
             "vec_id": pa.array(ids[keep].astype(np.int64), pa.int64()),
             "qvec": pa.array([q[i].tobytes() for i in keep], pa.binary()),
         })
+
+
+def _fetch_query_rows(ds, query_ids, id_col: str, emb_col: str):
+    """Fetch ONLY the listed query vectors (the similarity.ivf_topk
+    pattern: filtered map then take_all of a handful of rows), in
+    query_ids order. Returns (qids, float64 (n, dim) matrix)."""
+    import pyarrow.compute as pc
+
+    def grab(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch.column(id_col), value_set=pa.array(query_ids))
+        )
+
+    qrows = ds.map_batches(grab, batch_format="pyarrow").take_all()
+    qrows.sort(key=lambda r: query_ids.index(r[id_col]))
+    qids = [r[id_col] for r in qrows]
+    qraw = np.array([r[emb_col] for r in qrows], dtype=np.float64)
+    return qids, qraw
 
 
 class _SumPartial:
@@ -454,19 +484,7 @@ def ivf_topk_fixed(
         concurrency=concurrency,
     )
 
-    # fetch ONLY the query vectors (the similarity.ivf_topk pattern:
-    # filtered map then take_all of a handful of rows)
-    import pyarrow.compute as pc
-
-    def grab(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.is_in(batch.column(id_col), value_set=pa.array(query_ids))
-        )
-
-    qrows = ds.map_batches(grab, batch_format="pyarrow").take_all()
-    qrows.sort(key=lambda r: query_ids.index(r[id_col]))
-    qids = [r[id_col] for r in qrows]
-    qraw = np.array([r[emb_col] for r in qrows], dtype=np.float64)
+    qids, qraw = _fetch_query_rows(ds, query_ids, id_col, emb_col)
     qq = np.floor(qraw * _SCALE).astype(np.int64)
     # probe order per query: int64 distance asc, ties by cluster id asc
     probes = np.empty((len(qids), n_probe), dtype=np.int64)

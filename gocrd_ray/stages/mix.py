@@ -142,7 +142,11 @@ def temperature_sample(ds, *, lang_col: str = "lang",
     from . import rank
 
     def lang_partial(b: pa.Table) -> pa.Table:
-        t = pa.table({"lang": pc.fill_null(b.column(lang_col), "")})
+        # null langs are DROPPED, matching the SQL mirror's
+        # JOIN ... USING (lang) (NULL never equi-joins) — they neither
+        # sample nor shift n_min
+        col = b.column(lang_col)
+        t = pa.table({"lang": col.drop_null()})
         part = pa.TableGroupBy(t, "lang").aggregate([("lang", "count")])
         name_map = {"lang": "lang", "lang_count": "n"}
         return part.rename_columns([name_map[c] for c in part.column_names])
@@ -176,11 +180,11 @@ def temperature_sample(ds, *, lang_col: str = "lang",
     offsets = np.cumsum(ns) - ns  # global-rank offset of each language
 
     def keyed(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(lang_col)))  # see lang_partial
         ids = pc.cast(b.column(id_col), pa.int64())
         langs_py = b.column(lang_col).to_pylist()
         idx = np.array(
-            [lang_to_idx[l if l is not None else ""] for l in langs_py],
-            dtype=np.int64,
+            [lang_to_idx[l] for l in langs_py], dtype=np.int64,
         )
         # per-row md5 is the SQL-parity contract (DuckDB md5() mirror);
         # 14 hex digits = 56 bits so idx<<56 | key stays in int64

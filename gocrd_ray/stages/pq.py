@@ -41,7 +41,9 @@ import pyarrow as pa
 
 from .kmeans import (
     _SCALE,
+    _InitPartial,
     _assign,
+    _fetch_query_rows,
     _lloyd_update,
     _quantize,
 )
@@ -69,27 +71,10 @@ def _seed_codebooks(q: np.ndarray, ids: np.ndarray, m: int,
     )
 
 
-class _PQInitPartial:
-    """Per-block init partial: the block's k smallest ids with their
-    full packed quantized vectors (sliced into subspaces on the
-    driver)."""
-
-    def __init__(self, k: int, id_col: str, emb_col: str):
-        self.k, self.id_col, self.emb_col = k, id_col, emb_col
-
-    def __call__(self, b: pa.Table) -> pa.Table:
-        ids = b.column(self.id_col).to_numpy(zero_copy_only=False)
-        if len(ids) == 0:
-            return pa.table({
-                "vec_id": pa.array([], pa.int64()),
-                "qvec": pa.array([], pa.binary()),
-            })
-        q = _quantize(b.column(self.emb_col))
-        keep = np.argsort(ids, kind="stable")[: self.k]
-        return pa.table({
-            "vec_id": pa.array(ids[keep].astype(np.int64), pa.int64()),
-            "qvec": pa.array([q[i].tobytes() for i in keep], pa.binary()),
-        })
+# the per-block init partial is kmeans._InitPartial verbatim (the full
+# packed vectors are sliced into subspaces on the driver) — shared so
+# the two deterministic inits cannot drift
+_PQInitPartial = _InitPartial
 
 
 class _PQSumPartial:
@@ -359,17 +344,8 @@ def pq_adc_topk(
     )
     dsub = cents.shape[2]
 
-    def grab(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.is_in(batch.column(id_col), value_set=pa.array(query_ids))
-        )
-
-    qrows = ds.map_batches(grab, batch_format="pyarrow").take_all()
-    qrows.sort(key=lambda r: query_ids.index(r[id_col]))
-    qids = [r[id_col] for r in qrows]
-    qq = np.floor(
-        np.array([r[emb_col] for r in qrows], dtype=np.float64) * _SCALE
-    ).astype(np.int64)
+    qids, qraw = _fetch_query_rows(ds, query_ids, id_col, emb_col)
+    qq = np.floor(qraw * _SCALE).astype(np.int64)
     # per-query (m, k) exact distance tables
     dtab = np.empty((len(qids), m, cents.shape[1]), dtype=np.int64)
     for qi in range(len(qids)):

@@ -644,20 +644,25 @@ def fix_mojibake_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     and the only codepoints Latin-1 mis-decoding can produce) take the
     per-row repair path; clean blocks pass through zero-copy."""
     text = batch.column(text_col)
-    cand = pc.match_substring_regex(text, "[\u0080-\u00ff]")
-    n_cand = pc.sum(pc.cast(pc.fill_null(cand, False), pa.int64())).as_py() or 0
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    cand = pc.fill_null(
+        pc.match_substring_regex(text, "[\u0080-\u00ff]"), False
+    )
+    n_cand = pc.sum(pc.cast(cand, pa.int64())).as_py() or 0
     if n_cand == 0:
         return batch
-    vals = text.to_pylist()
-    mask = pc.fill_null(cand, False).to_pylist()
-    fixed = [
-        _repair_mojibake(v) if (m and v is not None) else v
-        for v, m in zip(vals, mask)
-    ]
+    # ONLY candidate rows cross into Python; the repaired values
+    # scatter back with one replace_with_mask kernel — a block with one
+    # dirty row pays per-row cost for one row, not the whole block
+    repaired = pa.array(
+        [_repair_mojibake(v) for v in text.filter(cand).to_pylist()],
+        pa.string(),
+    )
     return batch.set_column(
         batch.schema.get_field_index(text_col),
         text_col,
-        pa.array(fixed, pa.string()),
+        pc.replace_with_mask(text, cand, repaired),
     )
 
 

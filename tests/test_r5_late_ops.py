@@ -224,3 +224,74 @@ def test_fix_mojibake_rules():
                   "text": pa.array([got[0]])})
     ).column("text").to_pylist()
     assert again == [orig]
+
+
+def test_temperature_sample_drops_null_langs(ray_session):
+    import ray.data
+
+    # nulls must neither sample nor shift n_min (SQL JOIN semantics)
+    tbl = pa.table({
+        "doc_id": pa.array(range(120), pa.int64()),
+        "lang": pa.array(
+            ["en"] * 64 + ["de"] * 16 + [None] * 40, pa.string()
+        ),
+    })
+    out = mix.temperature_sample(ray.data.from_arrow(tbl)).to_pandas()
+    got = out.groupby("lang")["doc_id"].count().to_dict()
+    # k_en = floor(sqrt(64*16)) = 32, k_de = 16; a null group of 40
+    # treated as a language would have made n_min = 40 instead
+    assert got == {"en": 32, "de": 16}
+    assert out["lang"].notna().all()
+
+
+def test_review_fix_loud_guards(ray_session):
+    """Round-5 review fixes: each silently-wrong path now raises."""
+    import datetime
+
+    import ray.data
+
+    from gocrd_ray.sources.jsonl import read_jsonl
+    from gocrd_ray.sources.warc import write_warc
+    from gocrd_ray.stages.join import interval_join_broadcast
+
+    # mixed-compression shard list refuses up front
+    with pytest.raises(ValueError, match="mixed"):
+        read_jsonl(["/tmp/a.jsonl", "/tmp/b.jsonl.gz"])
+
+    # null mandatory WARC header column names itself
+    ds = ray.data.from_arrow(pa.table({
+        "rec_id": pa.array(["<urn:a>", None]),
+        "warc_ts": pa.array([datetime.datetime(2024, 1, 1)] * 2,
+                            pa.timestamp("us")),
+        "payload": pa.array([b"x", b"y"], pa.binary()),
+    }))
+    with pytest.raises(Exception, match="rec_id"):
+        write_warc(ds, "/tmp/warc_null_guard_out")
+
+    # interval-join column collision raises instead of overwriting
+    left = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "ts": pa.array([5], pa.int64()),
+    }))
+    intervals = pa.table({
+        "lo": pa.array([0], pa.int64()),
+        "hi": pa.array([10], pa.int64()),
+        "event_id": pa.array([99], pa.int64()),
+    })
+    with pytest.raises(ValueError, match="collision"):
+        interval_join_broadcast(left, intervals, ts_col="ts")
+
+
+def test_kmeans_overflow_guard_dim_aware():
+    from gocrd_ray.stages.kmeans import _q_abs_max, _quantize
+
+    # values the old 2^31 guard accepted but that overflow the int64
+    # distance sum at dim 64 must now raise
+    emb = pa.array([[1500.0] * 64, [-1500.0] * 64], pa.list_(pa.float32()))
+    with pytest.raises(ValueError, match="overflow guard"):
+        _quantize(emb)
+    # bound is exact at the boundary for representative dims
+    for dim in (1, 64, 4096):
+        qm = _q_abs_max(dim)
+        assert dim * (2 * qm) ** 2 <= 2**63 - 1
+        assert dim * (2 * (qm + 1)) ** 2 > 2**63 - 1

@@ -109,14 +109,16 @@ def test_domain_suffix_semantics():
 
 
 def test_domain_suffix_tld_entry_and_depth_cap():
-    # an 8-label host reaches its TLD on the 7th strip (max_labels=8:
-    # one direct test + 7 strip-and-retest passes); a 9-label host's
-    # TLD is beyond the cap and is NOT tested
+    # depth adapts to the batch: a 9-label host strips all the way to
+    # its TLD — deep nesting can NOT evade the blocklist
     hosts = pa.array(
         ["a.com", "com", "b.org", "a.b.c.d.e.f.g.com", "a.b.c.d.e.f.g.h.com"]
     )
     got = domain_suffix_hits(hosts, {"com"}).to_pylist()
-    assert got == [True, True, False, True, False]
-    # with a tight cap deep hosts are not certified blocked
-    got2 = domain_suffix_hits(hosts, {"com"}, max_labels=3).to_pylist()
-    assert got2 == [True, True, False, False, False]
+    assert got == [True, True, False, True, True]
+    # a cap that would truncate while strips remain raises instead of
+    # silently letting deeper hosts pass
+    import pytest
+
+    with pytest.raises(ValueError, match="label strips"):
+        domain_suffix_hits(hosts, {"com"}, max_labels=3)
