@@ -471,14 +471,18 @@ def anchor_stats(pages_ds, **kwargs):
     per-block DISTINCT ``(target, anchor)`` partial counts inside
     ``map_batches`` (the "Home"-on-every-page hot pair costs one row
     per block), then ONE narrow ``groupby(target, anchor).sum``
-    shuffle; the final per-target fold runs in ``map_groups`` over
-    groups whose size is the target's distinct-anchor count — bounded
-    by vocabulary, not by inlink count, so a 10^9-inlink homepage is
-    still a tiny group.
+    shuffle; the final per-target fold follows the ``_bucket_pairs``
+    sharding discipline — one ``map_groups`` callback per HASH SHARD
+    of targets (n_shards bounded, never one per target) with the
+    per-target run folds fully vectorized inside, so 10^9 distinct
+    targets cost 10^9 numpy-run rows, not 10^9 Python callbacks.
+    Per-target work is bounded by the target's anchor VOCABULARY,
+    never by inlink count.
 
     Output: (target, n_inlinks, n_anchors, top_anchor) where
     top_anchor is the most frequent anchor, ties broken ascending.
     """
+    import numpy as np
     import pyarrow.compute as pc
 
     anchors = pages_ds.map_batches(
@@ -497,23 +501,44 @@ def anchor_stats(pages_ds, **kwargs):
         .groupby(["target", "anchor"])
         .sum("n")
     )
+    n_shards = 256
 
-    def finish(group: pa.Table) -> pa.Table:
-        n = pc.cast(group.column("sum(n)"), pa.int64())
-        order = pa.table(
-            {"anchor": group.column("anchor"), "n": n}
-        ).sort_by([("n", "descending"), ("anchor", "ascending")])
-        return pa.table(
-            {
-                "target": group.column("target").slice(0, 1),
-                "n_inlinks": pa.array(
-                    [pc.sum(n).as_py() or 0], pa.int64()
-                ),
-                "n_anchors": pa.array([len(group)], pa.int64()),
-                "top_anchor": order.column("anchor").slice(0, 1),
-            }
+    def shard(b: pa.Table) -> pa.Table:
+        # same vectorized bucket assignment as join._bucket_of: one
+        # pandas hash_array call over the string keys, no per-row Python
+        import pandas as pd
+
+        col = b.column("target")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = pd.util.hash_array(np.asarray(col, dtype=object), categorize=False)
+        sh = pa.array((h % n_shards).astype(np.int64), pa.int64())
+        return b.append_column("__shard", sh)
+
+    def fold_shard(group: pa.Table) -> pa.Table:
+        tgt = np.asarray(group.column("target").to_pylist(), dtype=object)
+        anc = np.asarray(group.column("anchor").to_pylist(), dtype=object)
+        n = group.column("sum(n)").to_numpy(zero_copy_only=False).astype(
+            np.int64
         )
+        # per-target runs ordered (n desc, anchor asc): first of each
+        # run is the top anchor; reduceat folds sums and counts
+        order = np.lexsort((anc, -n, tgt))
+        ts, ns = tgt[order], n[order]
+        first = np.r_[True, ts[1:] != ts[:-1]]
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(ns, starts)
+        lens = np.diff(np.r_[starts, len(ts)])
+        keep = order[starts]
+        return pa.table({
+            "target": pa.array(tgt[keep], pa.string()),
+            "n_inlinks": pa.array(sums, pa.int64()),
+            "n_anchors": pa.array(lens.astype(np.int64), pa.int64()),
+            "top_anchor": pa.array(anc[keep], pa.string()),
+        })
 
-    return counted.groupby("target").map_groups(
-        finish, batch_format="pyarrow"
+    return (
+        counted.map_batches(shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(fold_shard, batch_format="pyarrow")
     )
